@@ -1,0 +1,22 @@
+"""Flag-based CLI (reference general_main.py), TPU/JAX backend."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+from ocl_tpu.config import build_parser, finalize
+from ocl_tpu.experiment.run import multiple_run
+
+
+def main(args):
+    print(args)
+    np.random.seed(args.seed)
+    random.seed(args.seed)
+    args = finalize(args)
+    multiple_run(args, store=args.store, save_path=args.save_path)
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

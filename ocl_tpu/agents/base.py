@@ -1,0 +1,297 @@
+"""Agent base: train-state pytrees, trick-aware criterion, evaluation.
+
+Re-design of the reference's ContinualLearner ABC (reference: agents/base.py).
+Host-side responsibilities (label bookkeeping per task, test-loader caching)
+stay in Python; everything per-step is pure and jitted. Each task trains in a
+single `lax.scan` over its batches — the reference's hot loop
+(agents/exp_replay.py:34-92, ~5k Python-dispatched iterations per task)
+becomes one XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ocl_tpu.buffer.state import BufferState, init_buffer, valid_mask
+from ocl_tpu.config import n_classes_match
+from ocl_tpu.models import (
+    features_eval,
+    forward_eval,
+    init_model,
+    setup_architecture,
+)
+from ocl_tpu.ops import losses
+from ocl_tpu.optim import setup_opt
+
+
+@struct.dataclass
+class TaskCtx:
+    """Per-task label bookkeeping, fixed [n_classes] masks.
+
+    The reference tracks old_labels / new_labels python lists
+    (agents/base.py:43-58); masks keep shapes static under jit.
+    """
+
+    old_mask: jnp.ndarray   # [C] classes from completed tasks
+    new_mask: jnp.ndarray   # [C] classes in the current task
+    task_seen: jnp.ndarray  # scalar int32: tasks completed before this one
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    buffer: Optional[BufferState]
+    agent: Any              # agent-specific pytree (teacher, fisher, ...), or None
+    rng: jnp.ndarray
+
+
+class ContinualLearner:
+    """Step-function factory + host-side orchestration for one CL algorithm."""
+
+    uses_buffer = True
+
+    def __init__(self, params):
+        self.params = params
+        self.data = params.data
+        self.n_classes = n_classes_match[params.data]
+        self.module = setup_architecture(params)
+        self.tx = setup_opt(params.optimizer, params.learning_rate, params.weight_decay)
+        self.trick = params.trick
+        self.needs_kd = bool(self.trick.get("kd_trick") or self.trick.get("kd_trick_star")
+                             or params.agent == "LWF")
+        self.ncm_classify = bool(self.trick.get("ncm_trick")) or params.agent in ("ICARL", "SCR", "SCP")
+        # host-side per-run label bookkeeping
+        self.old_labels: list = []
+        self.new_labels: list = []
+        self.task_seen = 0
+        self.verbose = params.verbose
+        self._train_task_jit = None
+        self._eval_cache = {}
+
+    # ---------------------------------------------------------------- state
+
+    def init_state(self, rng) -> TrainState:
+        rng, init_rng = jax.random.split(rng)
+        model_params, batch_stats = init_model(self.module, init_rng, self.data)
+        opt_state = self.tx.init(model_params)
+        buffer = init_buffer(self.params.mem_size, self.data) if self.uses_buffer else None
+        agent_state = self.init_agent_state(model_params, batch_stats)
+        self.old_labels, self.new_labels, self.task_seen = [], [], 0
+        return TrainState(params=model_params, batch_stats=batch_stats,
+                          opt_state=opt_state, buffer=buffer,
+                          agent=agent_state, rng=rng)
+
+    def init_agent_state(self, model_params, batch_stats):
+        if self.needs_kd:
+            return {"teacher_params": model_params, "teacher_stats": batch_stats,
+                    "has_teacher": jnp.zeros((), jnp.float32)}
+        return None
+
+    # ------------------------------------------------------- label tracking
+
+    def before_train(self, y_train) -> TaskCtx:
+        new = sorted(set(int(v) for v in np.asarray(y_train).reshape(-1)))
+        self.new_labels = new
+        old_mask = np.zeros(self.n_classes, bool)
+        old_mask[self.old_labels] = True
+        new_mask = np.zeros(self.n_classes, bool)
+        new_mask[self.new_labels] = True
+        return TaskCtx(old_mask=jnp.asarray(old_mask), new_mask=jnp.asarray(new_mask),
+                       task_seen=jnp.asarray(self.task_seen, jnp.int32))
+
+    def after_train(self, state: TrainState, ctx: TaskCtx) -> TrainState:
+        self.old_labels += [l for l in self.new_labels if l not in self.old_labels]
+        self.new_labels = []
+        self.task_seen += 1
+        if self.trick.get("review_trick") and self.uses_buffer:
+            state = self._review_pass(state, ctx)
+        if self.needs_kd:
+            state = state.replace(agent={
+                "teacher_params": state.params,
+                "teacher_stats": state.batch_stats,
+                "has_teacher": jnp.ones((), jnp.float32),
+            })
+        return state
+
+    # ------------------------------------------------------------ criterion
+
+    def criterion(self, logits, labels, ctx: TaskCtx, mask=None):
+        """Trick-aware loss (reference agents/base.py:93-113)."""
+        if self.trick.get("labels_trick"):
+            return losses.labels_trick_ce(logits, labels, mask=mask)
+        if self.trick.get("separated_softmax"):
+            return losses.separated_softmax_ce(logits, labels, ctx.old_mask,
+                                               ctx.new_mask, mask=mask)
+        return losses.cross_entropy(logits, labels, mask=mask)
+
+    def maybe_kd_blend(self, loss, logits, x, ctx: TaskCtx, agent_state, mask=None):
+        """kd_trick / kd_trick_star blending (reference agents/exp_replay.py:42-47)."""
+        if not (self.trick.get("kd_trick") or self.trick.get("kd_trick_star")):
+            return loss
+        teacher_logits = forward_eval(self.module, agent_state["teacher_params"],
+                                      agent_state["teacher_stats"], x)
+        kd = losses.kd_loss(logits, teacher_logits, mask=mask) * agent_state["has_teacher"]
+        t = ctx.task_seen.astype(jnp.float32) + 1.0
+        if self.trick.get("kd_trick"):
+            w = 1.0 / t
+        else:
+            w = 1.0 / jnp.sqrt(t)
+        return w * loss + (1.0 - w) * kd
+
+    # ------------------------------------------------------------- training
+
+    def train_learner(self, state: TrainState, x_train, y_train):
+        """One task's online pass. Host shuffles/batches; device runs the scan."""
+        ctx = self.before_train(y_train)
+        state = self.train_task(state, ctx, x_train, y_train)
+        state = self.after_train(state, ctx)
+        return state
+
+    def train_task(self, state, ctx, x_train, y_train):
+        raise NotImplementedError
+
+    def batchify(self, state, x, y, batch_size=None, drop_last=True):
+        """Shuffle + reshape a task's data to [n_batches, B, ...] device arrays."""
+        bs = batch_size or self.params.batch
+        rng, shuffle_rng = jax.random.split(state.rng)
+        n = x.shape[0]
+        perm = np.asarray(jax.random.permutation(shuffle_rng, n))
+        x, y = np.asarray(x)[perm], np.asarray(y)[perm]
+        n_batches = n // bs
+        x = x[: n_batches * bs].reshape(n_batches, bs, *x.shape[1:])
+        y = y[: n_batches * bs].reshape(n_batches, bs).astype(np.int32)
+        return state.replace(rng=rng), jnp.asarray(x, jnp.float32), jnp.asarray(y)
+
+    def _review_pass(self, state: TrainState, ctx: TaskCtx):
+        """review_trick: one epoch over the buffer at grads/10
+        (reference agents/base.py:62-88)."""
+        from ocl_tpu.agents import review
+
+        return review.review_pass(self, state, ctx)
+
+    def review_loss(self, params, stats, xb, yb, ctx, rng):
+        """Loss+grads for one review_trick batch; SCR overrides with SupCon."""
+        from ocl_tpu.models import forward_train
+
+        def loss_fn(p, st):
+            logits, new_st = forward_train(self.module, p, st, xb)
+            return self.criterion(logits, yb, ctx), new_st
+
+        (loss, new_st), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, stats)
+        return loss, grads, new_st
+
+    # ------------------------------------------------------------- evaluate
+
+    def forward_eval_logits(self, params, stats, x):
+        return forward_eval(self.module, params, stats, x)
+
+    def evaluate(self, state: TrainState, test_loaders):
+        """Accuracy on every task's test set (reference agents/base.py:118-231).
+
+        test_loaders: list of (x [nb, B, H, W, C], y [nb, B], mask [nb, B])
+        device-resident padded batches (see data.prepare_test_loaders).
+        """
+        if self.ncm_classify:
+            return self._evaluate_ncm(state, test_loaders)
+        eval_fn = self._eval_cache.get("softmax")
+        if eval_fn is None:
+            @jax.jit
+            def eval_fn(params, stats, x, y, m):
+                def body(carry, inp):
+                    xb, yb, mb = inp
+                    logits = self.forward_eval_logits(params, stats, xb)
+                    pred = jnp.argmax(logits, axis=1)
+                    return carry + jnp.sum((pred == yb) & mb), None
+
+                correct, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), (x, y, m))
+                return correct
+
+            self._eval_cache["softmax"] = eval_fn
+        accs = np.zeros(len(test_loaders))
+        for t, (x, y, m) in enumerate(test_loaders):
+            correct = eval_fn(state.params, state.batch_stats, x, y, m)
+            accs[t] = float(correct) / max(int(np.sum(np.asarray(m))), 1)
+        if self.verbose:
+            print(accs)
+        return accs
+
+    def _evaluate_ncm(self, state: TrainState, test_loaders):
+        """Nearest-class-mean over buffer exemplar features.
+
+        The reference runs one forward per buffered image
+        (agents/base.py:125-142); here exemplar means are one batched feature
+        sweep + segment-mean.
+        """
+        seen_mask = np.zeros(self.n_classes, bool)
+        seen_mask[self.old_labels] = True
+        seen_mask = jnp.asarray(seen_mask)
+
+        ncm_fns = self._eval_cache.get("ncm")
+        if ncm_fns is None:
+            @jax.jit
+            def exemplar_means(params, stats, buf_imgs, buf_labels, buf_valid, noise):
+                chunk = 256
+                n = buf_imgs.shape[0]
+                pad = (-n) % chunk
+                imgs = jnp.pad(buf_imgs, ((0, pad),) + ((0, 0),) * (buf_imgs.ndim - 1))
+                imgs = imgs.reshape(-1, chunk, *buf_imgs.shape[1:])
+
+                def body(_, xb):
+                    f = features_eval(self.module, params, stats, xb)
+                    return None, f
+
+                _, feats = jax.lax.scan(body, None, imgs)
+                feats = feats.reshape(-1, feats.shape[-1])[:n]
+                feats = feats / jnp.maximum(
+                    jnp.linalg.norm(feats, axis=1, keepdims=True), 1e-12)
+                w = buf_valid.astype(jnp.float32)
+                sums = jnp.zeros((self.n_classes, feats.shape[-1])).at[buf_labels].add(
+                    feats * w[:, None])
+                cnts = jnp.zeros((self.n_classes,)).at[buf_labels].add(w)
+                means = sums / jnp.maximum(cnts, 1.0)[:, None]
+                # classes with no exemplars get a random mean (reference
+                # agents/base.py:135-137)
+                means = jnp.where((cnts > 0)[:, None], means, noise)
+                return means / jnp.maximum(
+                    jnp.linalg.norm(means, axis=1, keepdims=True), 1e-12)
+
+            @jax.jit
+            def ncm_eval(params, stats, means, seen, x, y, m):
+                def body(carry, inp):
+                    xb, yb, mb = inp
+                    f = features_eval(self.module, params, stats, xb)
+                    f = f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True), 1e-12)
+                    d = jnp.sum((f[:, None, :] - means[None, :, :]) ** 2, axis=-1)
+                    d = jnp.where(seen[None, :], d, jnp.inf)
+                    pred = jnp.argmin(d, axis=1)
+                    return carry + jnp.sum((pred == yb) & mb), None
+
+                correct, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), (x, y, m))
+                return correct
+
+            ncm_fns = (exemplar_means, ncm_eval)
+            self._eval_cache["ncm"] = ncm_fns
+        exemplar_means, ncm_eval = ncm_fns
+
+        from ocl_tpu.models import feature_dim_for
+
+        rng = jax.random.fold_in(state.rng, 7)
+        buf = state.buffer
+        feat_dim = feature_dim_for(self.data, getattr(self.params, "nf", 20))
+        noise = jax.random.normal(rng, (self.n_classes, feat_dim))
+        means = exemplar_means(state.params, state.batch_stats, buf.imgs, buf.labels,
+                               valid_mask(buf), noise)
+        accs = np.zeros(len(test_loaders))
+        for t, (x, y, m) in enumerate(test_loaders):
+            correct = ncm_eval(state.params, state.batch_stats, means, seen_mask, x, y, m)
+            accs[t] = float(correct) / max(int(np.sum(np.asarray(m))), 1)
+        if self.verbose:
+            print(accs)
+        return accs

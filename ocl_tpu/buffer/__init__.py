@@ -1,0 +1,62 @@
+"""Buffer strategy registry and dispatch.
+
+Mirrors the reference's update/retrieve registries
+(utils/name_match.py:42-55) as builders of pure functions:
+
+  retrieve(params, batch_stats, buffer, batch_x, batch_y, batch_grads, rng)
+      -> (mem_x, mem_y, mem_mask)
+  update(params, batch_stats, buffer, batch_x, batch_y, rng)
+      -> (buffer, replaced_slots)
+"""
+
+from __future__ import annotations
+
+from ocl_tpu.buffer.state import BufferState, init_buffer, valid_mask  # noqa: F401
+from ocl_tpu.buffer.reservoir import reservoir_update
+from ocl_tpu.buffer.retrieve import class_balanced_sample, random_retrieve, sample_slots  # noqa: F401
+
+
+def build_update(agent):
+    name = agent.params.update
+    if name == "random":
+        def update(params, stats, buf, x, y, rng):
+            return reservoir_update(buf, x, y, rng)
+
+        return update
+    if name == "GSS":
+        from ocl_tpu.buffer.gss import build_gss_update
+
+        return build_gss_update(agent)
+    if name == "ASER":
+        from ocl_tpu.buffer.aser import build_aser_update
+
+        return build_aser_update(agent)
+    raise KeyError(f"unknown update method: {name}")
+
+
+def build_retrieve(agent):
+    name = agent.params.retrieve
+    k = agent.params.eps_mem_batch
+    if name == "random":
+        def retrieve(params, stats, buf, x, y, grads, rng):
+            mx, my, _, mask = random_retrieve(buf, k, rng)
+            return mx, my, mask
+
+        return retrieve
+    if name == "MIR":
+        from ocl_tpu.buffer.mir import build_mir_retrieve
+
+        return build_mir_retrieve(agent)
+    if name == "ASER":
+        from ocl_tpu.buffer.aser import build_aser_retrieve
+
+        return build_aser_retrieve(agent)
+    if name == "match":
+        from ocl_tpu.buffer.match import build_match_retrieve
+
+        return build_match_retrieve(agent)
+    if name == "mem_match":
+        from ocl_tpu.buffer.match import build_mem_match_retrieve
+
+        return build_mem_match_retrieve(agent)
+    raise KeyError(f"unknown retrieve method: {name}")

@@ -1,0 +1,46 @@
+"""Maximally Interfered Retrieval, functionally.
+
+Reference utils/buffer/mir_retrieve.py:15-47 deep-copies the model and applies
+one virtual SGD step to score a random subsample by loss increase. Here the
+virtual step is a tree_map (no copy), and the two scoring forwards are batched
+eval passes — the natural JAX formulation.
+
+Deviation (documented): the reference's scoring forwards run with BN in train
+mode under no_grad, which *mutates* the live model's running statistics as a
+side effect; we score with batch statistics but do not fold the subsample into
+the running stats (metric-based acceptance, not bitwise).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ocl_tpu.buffer.retrieve import random_retrieve
+from ocl_tpu.models import forward_train
+from ocl_tpu.ops.losses import NEG_INF
+
+
+def build_mir_retrieve(agent):
+    module = agent.module
+    lr = agent.params.learning_rate
+    subsample = agent.params.subsample
+    k = agent.params.eps_mem_batch
+
+    def retrieve(params, stats, buf, x, y, grads, rng):
+        sub_x, sub_y, _, sub_mask = random_retrieve(buf, subsample, rng)
+        virtual = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
+
+        logits_pre, _ = forward_train(module, params, stats, sub_x)
+        logits_post, _ = forward_train(module, virtual, stats, sub_x)
+        nll = lambda lg: -jnp.take_along_axis(  # noqa: E731
+            jax.nn.log_softmax(lg, axis=-1), sub_y[:, None], axis=1)[:, 0]
+        scores = nll(logits_post) - nll(logits_pre)
+
+        scores = jnp.where(sub_mask, scores, NEG_INF)
+        _, top_idx = jax.lax.top_k(scores, k)
+        n_valid = jnp.sum(sub_mask.astype(jnp.int32))
+        mem_mask = jnp.arange(k) < jnp.minimum(k, n_valid)
+        return sub_x[top_idx], sub_y[top_idx], mem_mask
+
+    return retrieve

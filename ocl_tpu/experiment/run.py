@@ -1,0 +1,90 @@
+"""Experiment runner (reference experiment/run.py).
+
+multiple_run: fresh model/opt/agent per run; online mode streams tasks through
+agent.train_learner and evaluates on every task's test set after each task;
+offline mode concatenates all tasks first. Prints the same metric lines as the
+reference and optionally pickles {time, acc_array}.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+
+import jax
+import numpy as np
+
+from ocl_tpu.data import continuum, prepare_test_loaders
+from ocl_tpu.experiment.metrics import compute_performance, single_run_avg_end_fgt
+from ocl_tpu.registry import agents
+from ocl_tpu.utils.io import check_ram_usage, load_yaml
+
+
+def _new_agent_and_state(params, run_seed):
+    agent = agents[params.agent](params)
+    state = agent.init_state(jax.random.PRNGKey(run_seed))
+    return agent, state
+
+
+def multiple_run(params, store=False, save_path=None):
+    start = time.time()
+    print("Setting up data stream")
+    data_continuum = continuum(params.data, params.cl_type, params)
+    print("data setup time: {}".format(time.time() - start))
+
+    if store:
+        result_path = load_yaml("config/global.yml", key="path")["result"]
+        table_path = result_path + params.data
+        os.makedirs(table_path, exist_ok=True)
+        if not save_path:
+            save_path = getattr(params, "model_name", params.agent) + "_" + \
+                getattr(params, "data_name", params.data) + ".pkl"
+
+    np.random.seed(params.seed)
+    accuracy_list = []
+    for run in range(params.num_runs):
+        tmp_acc = []
+        run_start = time.time()
+        data_continuum.new_run()
+        agent, state = _new_agent_and_state(params, params.seed + run)
+        test_loaders = prepare_test_loaders(data_continuum.test_data(), params)
+        if params.online:
+            for i, (x_train, y_train, labels) in enumerate(data_continuum):
+                if params.verbose:
+                    print("-----------run {} training batch {}-------------".format(run, i))
+                    print("size: {}, {}".format(x_train.shape, y_train.shape))
+                state = agent.train_learner(state, x_train, y_train)
+                acc_array = agent.evaluate(state, test_loaders)
+                tmp_acc.append(acc_array)
+            run_end = time.time()
+            print("-----------run {}-----------avg_end_acc {}-----------train time {}"
+                  .format(run, np.mean(tmp_acc[-1]), run_end - run_start))
+            accuracy_list.append(np.array(tmp_acc))
+        else:
+            xs, ys = [], []
+            for x_train, y_train, labels in data_continuum:
+                xs.append(x_train)
+                ys.append(y_train)
+            x_all = np.concatenate(xs, axis=0)
+            y_all = np.concatenate(ys, axis=0)
+            print("----------run {} training-------------".format(run))
+            state = agent.train_learner(state, x_all, y_all)
+            acc_array = agent.evaluate(state, test_loaders)
+            accuracy_list.append(acc_array)
+
+    accuracy_array = np.array(accuracy_list)
+    end = time.time()
+    if store:
+        result = {"time": end - start, "acc_array": accuracy_array}
+        with open(table_path + "/" + save_path, "wb") as f:
+            pickle.dump(result, f)
+    if params.online:
+        avg_end_acc, avg_end_fgt, avg_acc, avg_bwtp, avg_fwt = compute_performance(accuracy_array)
+        print("----------- Total {} run: {}s -----------".format(params.num_runs, end - start))
+        print("----------- Avg_End_Acc {} Avg_End_Fgt {} Avg_Acc {} Avg_Bwtp {} Avg_Fwt {}-----------"
+              .format(avg_end_acc, avg_end_fgt, avg_acc, avg_bwtp, avg_fwt))
+        return avg_end_acc, avg_end_fgt, avg_acc, avg_bwtp, avg_fwt
+    print("----------- Total {} run: {}s -----------".format(params.num_runs, end - start))
+    print("avg_end_acc {}".format(np.mean(accuracy_list)))
+    return np.mean(accuracy_list)

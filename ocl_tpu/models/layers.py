@@ -1,0 +1,107 @@
+"""Shared layers: torch-semantics BatchNorm and torch-style initializers.
+
+The reference backbone (reference: models/resnet.py) relies on PyTorch's
+BatchNorm2d and default Conv2d/Linear inits. Online CL trains at batch size 10
+with BN statistics folded in continuously, so matching those semantics matters
+for the accuracy-parity target. Everything here is plain flax.linen over NHWC
+(TPU-native layout).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch Conv2d/Linear default: kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), +1/sqrt(fan_in))
+torch_kernel_init = jax.nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(fan_in: int):
+    """torch Linear bias default: U(-1/sqrt(fan_in), +1/sqrt(fan_in))."""
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with PyTorch BatchNorm2d semantics.
+
+    Differences from flax.linen.BatchNorm that matter here:
+      * running_var is updated with the *unbiased* batch variance while
+        normalization uses the biased one (torch behaviour; at batch size 10
+        the n/(n-1) factor is a 11% difference in the running stats).
+      * momentum convention: new = (1 - m) * old + m * batch, with m = 0.1.
+    """
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(features, jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(features, jnp.float32))
+
+        if train:
+            reduce_axes = tuple(range(x.ndim - 1))
+            n = x.size // features
+            mean = jnp.mean(x, axis=reduce_axes)
+            var = jnp.mean(jnp.square(x - mean), axis=reduce_axes)  # biased
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        return (x - mean) * inv + bias
+
+
+class Conv3x3(nn.Module):
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                       padding=1, use_bias=False, kernel_init=torch_kernel_init)(x)
+
+
+class Conv1x1(nn.Module):
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.features, (1, 1), strides=(self.stride, self.stride),
+                       padding=0, use_bias=False, kernel_init=torch_kernel_init)(x)
+
+
+class TorchLinear(nn.Module):
+    """nn.Linear with torch default init (incl. its bias distribution)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        return nn.Dense(self.features, use_bias=self.use_bias,
+                        kernel_init=torch_kernel_init,
+                        bias_init=torch_bias_init(fan_in))(x)
+
+
+def avg_pool(x, window: int):
+    """torch avg_pool2d(x, k): kernel k, stride k, floor-mode (drops remainder)."""
+    h, w = x.shape[-3], x.shape[-2]
+    th, tw = (h // window) * window, (w // window) * window
+    x = x[..., :th, :tw, :]
+    return nn.avg_pool(x, (window, window), strides=(window, window))

@@ -1,0 +1,20 @@
+"""Test env: force CPU JAX with 8 virtual devices for sharding tests.
+
+The image's sitecustomize pre-imports jax with the axon TPU plugin and
+JAX_PLATFORMS=axon, so env vars set here are too late for jax's config
+defaults — use jax.config.update (backends are not initialized yet at
+conftest-import time). XLA_FLAGS is still read lazily at CPU-client creation.
+Tests always run on the virtual CPU mesh so they are hermetic and cannot
+wedge the TPU worker.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,62 @@
+"""Model shape/parity constants (reference models/resnet.py + setup_elements.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ocl_tpu.models import init_model, forward_train, forward_eval, features_eval, param_count
+from ocl_tpu.models.resnet import Reduced_ResNet18, SupConResNet
+
+
+def test_reduced_resnet18_feature_dims():
+    # feature dims 160 / 640 / 2560 (reference setup_elements.py:59-66)
+    for size, dim in ((32, 160), (84, 640), (128, 2560)):
+        m = Reduced_ResNet18(10)
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), train=False)
+        f = m.apply(v, jnp.zeros((2, size, size, 3)), train=False, method="features")
+        assert f.shape == (2, dim)
+
+
+def test_reduced_resnet18_param_count():
+    # torch Reduced_ResNet18(10): 1,094,750 trainable parameters
+    # (conv/bn trunk at nf=20 + 160->10 linear head), counted analytically.
+    m = Reduced_ResNet18(10)
+    params, stats = init_model(m, jax.random.PRNGKey(0), "cifar10")
+    assert param_count(params) == 1_094_750
+
+
+def test_batchnorm_torch_semantics():
+    from ocl_tpu.models.layers import BatchNorm
+
+    bn = BatchNorm()
+    x = jnp.asarray(np.random.RandomState(0).randn(10, 4, 4, 3), jnp.float32)
+    variables = bn.init(jax.random.PRNGKey(0), x, train=True)
+    y, mut = bn.apply(variables, x, train=True, mutable=["batch_stats"])
+    # normalization uses biased variance
+    mean = np.mean(np.asarray(x), axis=(0, 1, 2))
+    var = np.var(np.asarray(x), axis=(0, 1, 2))
+    expected = (np.asarray(x) - mean) / np.sqrt(var + 1e-5)
+    np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-4, atol=1e-5)
+    # running stats use unbiased variance with momentum 0.1
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    np.testing.assert_allclose(np.asarray(mut["batch_stats"]["mean"]), 0.1 * mean, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(mut["batch_stats"]["var"]),
+                               0.9 * 1.0 + 0.1 * var * n / (n - 1), rtol=1e-5)
+
+
+def test_supcon_resnet_normalized():
+    m = SupConResNet(dim_in=160, head="mlp")
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+    out = m.apply(v, jnp.asarray(np.random.rand(4, 32, 32, 3), jnp.float32), train=False)
+    assert out.shape == (4, 128)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=1), 1.0, rtol=1e-5)
+
+
+def test_train_eval_forward_shapes():
+    m = Reduced_ResNet18(10)
+    params, stats = init_model(m, jax.random.PRNGKey(0), "cifar10")
+    x = jnp.zeros((10, 32, 32, 3))
+    logits, new_stats = forward_train(m, params, stats, x)
+    assert logits.shape == (10, 10)
+    assert features_eval(m, params, stats, x).shape == (10, 160)
+    assert forward_eval(m, params, new_stats, x).shape == (10, 10)
