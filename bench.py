@@ -20,11 +20,13 @@ TORCH_CPU_BASELINE_IMGS_PER_SEC = 45.3  # measured: tools/measure_torch_baseline
 
 
 def main():
+    from ocl_tpu.config import apply_platform_env, default_params
+
+    apply_platform_env()
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from ocl_tpu.config import default_params
     from ocl_tpu.registry import agents
 
     p = default_params(data="synthetic", agent="ER", mem_size=1000, batch=10,

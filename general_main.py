@@ -6,11 +6,12 @@ import random
 
 import numpy as np
 
-from ocl_tpu.config import build_parser, finalize
+from ocl_tpu.config import apply_platform_env, build_parser, finalize
 from ocl_tpu.experiment.run import multiple_run
 
 
 def main(args):
+    apply_platform_env()
     print(args)
     np.random.seed(args.seed)
     random.seed(args.seed)

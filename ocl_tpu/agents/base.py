@@ -90,7 +90,10 @@ class ContinualLearner:
 
     def init_agent_state(self, model_params, batch_stats):
         if self.needs_kd:
-            return {"teacher_params": model_params, "teacher_stats": batch_stats,
+            from ocl_tpu.utils.meters import tree_copy
+
+            return {"teacher_params": tree_copy(model_params),
+                    "teacher_stats": tree_copy(batch_stats),
                     "has_teacher": jnp.zeros((), jnp.float32)}
         return None
 
@@ -113,11 +116,13 @@ class ContinualLearner:
         if self.trick.get("review_trick") and self.uses_buffer:
             state = self._review_pass(state, ctx)
         if self.needs_kd:
-            state = state.replace(agent={
-                "teacher_params": state.params,
-                "teacher_stats": state.batch_stats,
-                "has_teacher": jnp.ones((), jnp.float32),
-            })
+            from ocl_tpu.utils.meters import tree_copy
+
+            ag = dict(state.agent) if isinstance(state.agent, dict) else {}
+            ag.update(teacher_params=tree_copy(state.params),
+                      teacher_stats=tree_copy(state.batch_stats),
+                      has_teacher=jnp.ones((), jnp.float32))
+            state = state.replace(agent=ag)
         return state
 
     # ------------------------------------------------------------ criterion

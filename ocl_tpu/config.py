@@ -182,3 +182,16 @@ def merge_yaml_params(*yaml_dicts, **extra) -> SimpleNamespace:
             merged.update(d)
     merged.update(extra)
     return finalize(SimpleNamespace(**merged))
+
+
+def apply_platform_env():
+    """Honor JAX_PLATFORMS even when a sitecustomize plugin force-set
+    jax_platforms after import (this image's axon register() does): re-apply
+    the env var via jax.config before first backend use."""
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        jax.config.update("jax_platforms", want)

@@ -1,0 +1,135 @@
+"""Image augmentations as pure jnp ops, fused into the jitted train step.
+
+Counterpart of the reference SCR pipeline (reference agents/scr.py:18-24:
+kornia RandomResizedCrop(scale=(0.2,1)) -> RandomHorizontalFlip ->
+ColorJitter(0.4,0.4,0.4,0.1, p=0.8) -> RandomGrayscale(p=0.2)).
+
+All ops are batched, fixed-shape, vmap-friendly: crops are bilinear gather
+sampling (no dynamic slice sizes). Deviation (documented): jitter sub-ops
+apply in fixed order brightness->contrast->saturation->hue rather than a
+random permutation — distributional parity, metric-based acceptance.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_sample(img, ys, xs):
+    """Sample img [H,W,C] at float coords (ys [h], xs [w]) -> [h,w,C]."""
+    H, W = img.shape[0], img.shape[1]
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    ay = (ys - y0)[:, None, None]
+    ax = (xs - x0)[None, :, None]
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    g = lambda yi, xi: img[yi[:, None], xi[None, :]]  # noqa: E731
+    top = g(y0, x0) * (1 - ax) + g(y0, x1) * ax
+    bot = g(y1, x0) * (1 - ax) + g(y1, x1) * ax
+    return top * (1 - ay) + bot * ay
+
+
+def crop_resize(img, y0, x0, h, w):
+    """Crop box (y0,x0,h,w) and resize back to img's own HxW, bilinearly
+    (half-pixel centers == align_corners=False)."""
+    H, W = img.shape[0], img.shape[1]
+    ys = y0 + (jnp.arange(H) + 0.5) * h / H - 0.5
+    xs = x0 + (jnp.arange(W) + 0.5) * w / W - 0.5
+    return bilinear_sample(img, ys, xs)
+
+
+def random_resized_crop(rng, x, scale=(0.2, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0)):
+    """Per-sample random area/aspect crop, resized to the input size."""
+    B, H, W, _ = x.shape
+    r_area, r_ratio, r_y, r_x = jax.random.split(rng, 4)
+    area = jax.random.uniform(r_area, (B,), minval=scale[0], maxval=scale[1]) * H * W
+    log_r = jax.random.uniform(r_ratio, (B,),
+                               minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1]))
+    r = jnp.exp(log_r)
+    w = jnp.clip(jnp.round(jnp.sqrt(area * r)), 1, W)
+    h = jnp.clip(jnp.round(jnp.sqrt(area / r)), 1, H)
+    y0 = jax.random.uniform(r_y, (B,)) * (H - h)
+    x0 = jax.random.uniform(r_x, (B,)) * (W - w)
+    return jax.vmap(crop_resize)(x, y0, x0, h, w)
+
+
+def random_hflip(rng, x, p=0.5):
+    flip = jax.random.uniform(rng, (x.shape[0],)) < p
+    return jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+
+
+def rgb_to_grayscale(x):
+    w = jnp.asarray([0.299, 0.587, 0.114], x.dtype)
+    return jnp.sum(x * w, axis=-1, keepdims=True)
+
+
+def random_grayscale(rng, x, p=0.2):
+    gray = jnp.repeat(rgb_to_grayscale(x), 3, axis=-1)
+    on = jax.random.uniform(rng, (x.shape[0],)) < p
+    return jnp.where(on[:, None, None, None], gray, x)
+
+
+def rgb_to_hsv(x):
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    mx = jnp.max(x, axis=-1)
+    mn = jnp.min(x, axis=-1)
+    d = mx - mn
+    safe_d = jnp.where(d > 0, d, 1.0)
+    h = jnp.where(mx == r, (g - b) / safe_d % 6.0,
+                  jnp.where(mx == g, (b - r) / safe_d + 2.0, (r - g) / safe_d + 4.0))
+    h = jnp.where(d > 0, h / 6.0, 0.0)
+    s = jnp.where(mx > 0, d / jnp.where(mx > 0, mx, 1.0), 0.0)
+    return jnp.stack([h, s, mx], axis=-1)
+
+
+def hsv_to_rgb(hsv):
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    h6 = (h % 1.0) * 6.0
+    i = jnp.floor(h6)
+    f = h6 - i
+    p = v * (1 - s)
+    q = v * (1 - s * f)
+    t = v * (1 - s * (1 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def color_jitter(rng, x, brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1, p=0.8):
+    B = x.shape[0]
+    r_on, r_b, r_c, r_s, r_h = jax.random.split(rng, 5)
+    on = (jax.random.uniform(r_on, (B,)) < p)[:, None, None, None]
+
+    bf = jax.random.uniform(r_b, (B, 1, 1, 1), minval=1 - brightness, maxval=1 + brightness)
+    out = jnp.clip(x * bf, 0.0, 1.0)
+
+    cf = jax.random.uniform(r_c, (B, 1, 1, 1), minval=1 - contrast, maxval=1 + contrast)
+    mean_gray = jnp.mean(rgb_to_grayscale(out), axis=(1, 2, 3), keepdims=True)
+    out = jnp.clip(out * cf + mean_gray * (1 - cf), 0.0, 1.0)
+
+    sf = jax.random.uniform(r_s, (B, 1, 1, 1), minval=1 - saturation, maxval=1 + saturation)
+    gray = rgb_to_grayscale(out)
+    out = jnp.clip(out * sf + gray * (1 - sf), 0.0, 1.0)
+
+    hf = jax.random.uniform(r_h, (B, 1, 1), minval=-hue, maxval=hue)
+    hsv = rgb_to_hsv(out)
+    hsv = hsv.at[..., 0].set((hsv[..., 0] + hf) % 1.0)
+    out = jnp.clip(hsv_to_rgb(hsv), 0.0, 1.0)
+
+    return jnp.where(on, out, x)
+
+
+def scr_transform(rng, x):
+    """The SCR augmentation stack (reference agents/scr.py:18-24)."""
+    r1, r2, r3, r4 = jax.random.split(rng, 4)
+    x = random_resized_crop(r1, x)
+    x = random_hflip(r2, x)
+    x = color_jitter(r3, x)
+    x = random_grayscale(r4, x)
+    return x

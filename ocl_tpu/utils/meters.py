@@ -48,3 +48,13 @@ class EarlyStopping:
     def reset(self):
         self.counter = 0
         self.best_score = None
+
+
+def tree_copy(tree):
+    """Device-side copy of every leaf. Needed wherever a snapshot (teacher,
+    prev_params) is stored next to the live params in a donated TrainState —
+    aliased leaves would be donated twice."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(jnp.copy, tree)

@@ -1,0 +1,52 @@
+"""Per-agent smoke tests: every registered agent trains a 2-task stream and
+evaluates, exercising its full jitted step (nf=4 to bound CPU compile time)."""
+
+import jax
+import numpy as np
+import pytest
+
+from ocl_tpu.config import default_params
+from ocl_tpu.data import prepare_test_loaders
+from ocl_tpu.registry import agents
+
+
+def _stream(p, n_tasks=2, per_task=40):
+    g = np.random.RandomState(0)
+    tasks = []
+    for t in range(n_tasks):
+        x = g.rand(per_task, 32, 32, 3).astype(np.float32)
+        y = g.randint(t * 2, t * 2 + 2, per_task)
+        tasks.append((x, y))
+    test = [(g.rand(20, 32, 32, 3).astype(np.float32), g.randint(t * 2, t * 2 + 2, 20))
+            for t in range(n_tasks)]
+    return tasks, prepare_test_loaders(test, p)
+
+
+@pytest.mark.parametrize("name,extra", [
+    ("LWF", {}),
+    ("EWC", {"fisher_update_after": 3}),
+    ("AGEM", {}),
+    ("ICARL", {}),
+    ("GDUMB", {"mem_epoch": 2, "mem_size": 40}),
+    ("SCR", {"eps_mem_batch": 10, "head": "mlp"}),
+    ("ER", {"labels_trick": True}),
+    ("ER", {"separated_softmax": True}),
+    ("ER", {"kd_trick": True}),
+    ("ER", {"review_trick": True}),
+    ("ER", {"ncm_trick": True}),
+])
+def test_agent_trains_and_evaluates(name, extra):
+    kw = dict(data="synthetic", agent=name, mem_size=60, verbose=False,
+              nf=4, test_batch=20)
+    kw.update(extra)
+    p = default_params(**kw)
+    agent = agents[name](p)
+    state = agent.init_state(jax.random.PRNGKey(0))
+    tasks, loaders = _stream(p)
+    for x, y in tasks:
+        state = agent.train_learner(state, x, y)
+    accs = agent.evaluate(state, loaders)
+    assert accs.shape == (2,)
+    assert np.all(accs >= 0) and np.all(accs <= 1)
+    assert np.isfinite(
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0])).all()

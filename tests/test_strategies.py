@@ -1,0 +1,65 @@
+"""Smoke tests: each retrieve/update strategy trains inside the jitted ER step.
+
+Narrow backbone (nf=4) + short streams keep CPU compile time bounded; these
+validate shapes/masks/cond paths, not accuracy (test_e2e covers learning).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from ocl_tpu.config import default_params
+from ocl_tpu.registry import agents
+
+
+def _run_two_tasks(p):
+    agent = agents[p.agent](p)
+    state = agent.init_state(jax.random.PRNGKey(0))
+    g = np.random.RandomState(0)
+    for task in range(2):
+        x = g.rand(60, 32, 32, 3).astype(np.float32)
+        y = g.randint(task * 2, task * 2 + 2, 60)
+        state = agent.train_learner(state, x, y)
+    assert int(state.buffer.current_index) > 0
+    assert np.isfinite(np.asarray(state.params["linear"]["Dense_0"]["kernel"])).all()
+    return agent, state
+
+
+@pytest.mark.parametrize("retrieve,update", [
+    ("MIR", "random"),
+    ("random", "GSS"),
+    ("ASER", "ASER"),
+    ("match", "random"),
+    ("mem_match", "random"),
+])
+def test_strategy_combo_trains(retrieve, update):
+    p = default_params(data="synthetic", agent="ER", retrieve=retrieve, update=update,
+                       mem_size=80, eps_mem_batch=10, subsample=20, verbose=False,
+                       nf=4, gss_mem_strength=3, gss_batch_size=10, k=3,
+                       n_smp_cls=2.0, warmup=1)
+    _run_two_tasks(p)
+
+
+def test_gss_scores_populated():
+    p = default_params(data="synthetic", agent="ER", update="GSS", mem_size=40,
+                       eps_mem_batch=10, verbose=False, nf=4,
+                       gss_mem_strength=2, gss_batch_size=10)
+    _, state = _run_two_tasks(p)
+    # first batch scores 0.1, later fills carry real cosine scores
+    scores = np.asarray(state.buffer.score[: int(state.buffer.current_index)])
+    assert np.isfinite(scores).all()
+    assert (np.abs(scores) <= 1.0 + 1e-5).all()
+
+
+def test_aser_update_keeps_buffer_consistent():
+    p = default_params(data="synthetic", agent="ER", retrieve="ASER", update="ASER",
+                       mem_size=40, eps_mem_batch=10, verbose=False, nf=4,
+                       k=3, n_smp_cls=1.0)
+    _, state = _run_two_tasks(p)
+    buf = state.buffer
+    assert int(buf.current_index) == 40
+    labels = np.asarray(buf.labels)
+    counts = np.asarray(buf.class_counts)
+    for c in range(10):
+        assert counts[c] == (labels == c).sum()
+    assert int(buf.n_seen_so_far) == 120
