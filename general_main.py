@@ -16,7 +16,12 @@ def main(args):
     np.random.seed(args.seed)
     random.seed(args.seed)
     args = finalize(args)
-    multiple_run(args, store=args.store, save_path=args.save_path)
+    if getattr(args, "parallel_runs", False):
+        from ocl_tpu.experiment.parallel_run import multiple_run_parallel
+
+        multiple_run_parallel(args, store=args.store, save_path=args.save_path)
+    else:
+        multiple_run(args, store=args.store, save_path=args.save_path)
 
 
 if __name__ == "__main__":

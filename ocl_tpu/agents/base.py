@@ -70,10 +70,20 @@ class ContinualLearner:
         # host-side per-run label bookkeeping
         self.old_labels: list = []
         self.new_labels: list = []
+        self.new_labels_zombie: list = []
         self.task_seen = 0
+        self.class_task_map: dict = {}
         self.verbose = params.verbose
         self._train_task_jit = None
         self._eval_cache = {}
+        # error-analysis accumulators (reference agents/base.py:33-40)
+        self.error_list: list = []
+        self.new_class_score: list = []
+        self.old_class_score: list = []
+        self.fc_norm_new: list = []
+        self.fc_norm_old: list = []
+        self.bias_norm_new: list = []
+        self.bias_norm_old: list = []
 
     # ---------------------------------------------------------------- state
 
@@ -102,6 +112,8 @@ class ContinualLearner:
     def before_train(self, y_train) -> TaskCtx:
         new = sorted(set(int(v) for v in np.asarray(y_train).reshape(-1)))
         self.new_labels = new
+        for lbl in new:
+            self.class_task_map[lbl] = self.task_seen
         old_mask = np.zeros(self.n_classes, bool)
         old_mask[self.old_labels] = True
         new_mask = np.zeros(self.n_classes, bool)
@@ -111,6 +123,7 @@ class ContinualLearner:
 
     def after_train(self, state: TrainState, ctx: TaskCtx) -> TrainState:
         self.old_labels += [l for l in self.new_labels if l not in self.old_labels]
+        self.new_labels_zombie = list(self.new_labels)
         self.new_labels = []
         self.task_seen += 1
         if self.trick.get("review_trick") and self.uses_buffer:
@@ -205,6 +218,8 @@ class ContinualLearner:
         """
         if self.ncm_classify:
             return self._evaluate_ncm(state, test_loaders)
+        if getattr(self.params, "error_analysis", False):
+            return self._evaluate_error_analysis(state, test_loaders)
         eval_fn = self._eval_cache.get("softmax")
         if eval_fn is None:
             @jax.jit
@@ -225,6 +240,84 @@ class ContinualLearner:
             accs[t] = float(correct) / max(int(np.sum(np.asarray(m))), 1)
         if self.verbose:
             print(accs)
+        return accs
+
+    def _evaluate_error_analysis(self, state: TrainState, test_loaders):
+        """Softmax eval + old/new confusion instrumentation
+        (reference agents/base.py:144-226): counts of old-task errors landing
+        on new classes (on/oo), new-task errors landing on old classes
+        (no/nn), mean logits over old/new class columns, and the linear
+        head's per-group weight/bias norms; dumps (correct_lb, predict_lb)
+        to a 'confusion' pickle."""
+        import pickle
+
+        from ocl_tpu.utils.meters import AverageMeter
+
+        fn = self._eval_cache.get("softmax_preds")
+        if fn is None:
+            @jax.jit
+            def fn(params, stats, x, y, m):
+                def body(_, inp):
+                    xb, yb, mb = inp
+                    logits = self.forward_eval_logits(params, stats, xb)
+                    return None, (jnp.argmax(logits, axis=1), logits)
+
+                _, (preds, logits) = jax.lax.scan(body, None, (x, y, m))
+                return preds, logits
+
+            self._eval_cache["softmax_preds"] = fn
+
+        zombie = set(self.new_labels_zombie)
+        old_minus_z = sorted(set(self.old_labels) - zombie)
+        zombie_l = sorted(zombie)
+        accs = np.zeros(len(test_loaders))
+        no = nn_ = oo = on = 0
+        new_score = AverageMeter()
+        old_score = AverageMeter()
+        correct_lb, predict_lb = [], []
+        for task, (x, y, m) in enumerate(test_loaders):
+            preds, logits = fn(state.params, state.batch_stats, x, y, m)
+            preds = np.asarray(preds).reshape(-1)
+            logits = np.asarray(logits).reshape(-1, logits.shape[-1])
+            ys = np.asarray(y).reshape(-1)
+            ms = np.asarray(m).reshape(-1)
+            preds, logits, ys = preds[ms], logits[ms], ys[ms]
+            accs[task] = float((preds == ys).mean()) if len(ys) else 0.0
+            correct_lb += [task] * len(ys)
+            predict_lb += [self.class_task_map.get(int(p), -1) for p in preds]
+            wrong = preds[preds != ys]
+            total = len(wrong)
+            if task < self.task_seen - 1:
+                on_tmp = int(np.isin(wrong, zombie_l).sum())
+                oo += total - on_tmp
+                on += on_tmp
+                if old_minus_z:
+                    old_score.update(float(logits[:, old_minus_z].mean()), len(ys))
+            elif task == self.task_seen - 1:
+                no_tmp = int(np.isin(wrong, old_minus_z).sum())
+                no += no_tmp
+                nn_ += total - no_tmp
+                if zombie_l:
+                    new_score.update(float(logits[:, zombie_l].mean()), len(ys))
+        self.error_list.append((no, nn_, oo, on))
+        self.new_class_score.append(new_score.avg())
+        self.old_class_score.append(old_score.avg())
+        if self.verbose:
+            print(accs)
+            print("no ratio: {}\non ratio: {}".format(
+                no / (no + nn_ + 0.1), on / (oo + on + 0.1)))
+            print(self.error_list)
+        if "linear" in state.params:
+            kernel = np.asarray(state.params["linear"]["Dense_0"]["kernel"])
+            bias = np.asarray(state.params["linear"]["Dense_0"]["bias"])
+            if zombie_l:
+                self.fc_norm_new.append(float(kernel[:, zombie_l].mean()))
+                self.bias_norm_new.append(float(bias[zombie_l].mean()))
+            if old_minus_z:
+                self.fc_norm_old.append(float(kernel[:, old_minus_z].mean()))
+                self.bias_norm_old.append(float(bias[old_minus_z].mean()))
+        with open("confusion", "wb") as fp:
+            pickle.dump([correct_lb, predict_lb], fp)
         return accs
 
     def _evaluate_ncm(self, state: TrainState, test_loaders):

@@ -138,6 +138,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="train images per class for the synthetic dataset")
     parser.add_argument("--nf", dest="nf", default=20, type=int,
                         help="backbone width (reference fixes nf=20; smaller for CPU tests)")
+    parser.add_argument("--max_experts", dest="max_experts", default=10, type=int,
+                        help="CN-DPM expert-slot capacity (static shapes on TPU)")
+    parser.add_argument("--parallel_runs", dest="parallel_runs", default=False,
+                        type=boolean_string,
+                        help="vmap all num_runs runs into one on-device program")
     return parser
 
 

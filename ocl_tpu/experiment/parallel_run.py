@@ -1,0 +1,137 @@
+"""Run-parallel experiments: R independent runs trained simultaneously.
+
+The reference executes `num_runs` sequentially (reference experiment/run.py:
+34-70). Online CL at batch size 10 leaves the MXU mostly idle, so here the
+*entire experiment* — R runs with different seeds/task orders — vmaps over a
+stacked TrainState: every step processes R models' batches at once. This is
+the TPU-native counterpart of "one run per GPU", on a single chip.
+
+Works for agents whose task step is a pure scanned function and whose eval
+is the softmax path (ER incl. MIR/GSS/ASER strategies, AGEM, EWC, LWF).
+Others (GDumb/CNDPM host control flow, NCM-eval agents, review_trick) fall
+back to sequential `multiple_run`.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ocl_tpu.agents.base import TaskCtx
+from ocl_tpu.data import continuum, prepare_test_loaders
+from ocl_tpu.experiment.metrics import compute_performance
+from ocl_tpu.registry import agents
+
+VMAP_CAPABLE = ("ER", "AGEM", "EWC", "LWF")
+
+
+def _stack(trees):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def multiple_run_parallel(params, store=False, save_path=None):
+    ncm = params.trick.get("ncm_trick") or params.agent in ("ICARL", "SCR", "SCP")
+    if (params.agent not in VMAP_CAPABLE or params.trick.get("review_trick")
+            or ncm or getattr(params, "error_analysis", False)):
+        from ocl_tpu.experiment.run import multiple_run
+
+        return multiple_run(params, store=store, save_path=save_path)
+
+    start = time.time()
+    n_runs = params.num_runs
+    print("Setting up data stream ({} vmapped runs)".format(n_runs))
+    data_continuum = continuum(params.data, params.cl_type, params)
+    np.random.seed(params.seed)
+
+    # materialize every run's task stream + test sets (host)
+    runs_tasks, runs_tests = [], []
+    for run in range(n_runs):
+        data_continuum.new_run()
+        tasks = list(data_continuum)
+        runs_tasks.append(tasks)
+        runs_tests.append(prepare_test_loaders(data_continuum.test_data(), params))
+    n_tasks = len(runs_tasks[0])
+
+    agent = agents[params.agent](params)
+    states = [agent.init_state(jax.random.PRNGKey(params.seed + r))
+              for r in range(n_runs)]
+    state = _stack(states)
+
+    task_fn = jax.jit(jax.vmap(agent._build_train_task_fn()), donate_argnums=0)
+
+    @jax.jit
+    def eval_fn(state, x, y, m):
+        def one(params, stats, x, y, m):
+            def body(c, inp):
+                xb, yb, mb = inp
+                logits = agent.forward_eval_logits(params, stats, xb)
+                return c + jnp.sum((jnp.argmax(logits, 1) == yb) & mb), None
+
+            c, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), (x, y, m))
+            return c
+
+        return jax.vmap(one)(state.params, state.batch_stats, x, y, m)
+
+    # per-run host label bookkeeping
+    old_labels = [set() for _ in range(n_runs)]
+    n_cls = agent.n_classes
+    acc = np.zeros((n_runs, n_tasks, n_tasks))
+
+    # stacked test loaders per task: [R, nb, B, ...]
+    test_stacked = []
+    for t in range(n_tasks):
+        xs = _stack([runs_tests[r][t][0] for r in range(n_runs)])
+        ys = _stack([runs_tests[r][t][1] for r in range(n_runs)])
+        ms = _stack([runs_tests[r][t][2] for r in range(n_runs)])
+        test_stacked.append((xs, ys, ms))
+
+    stream_images = 0
+    t_train = 0.0
+    for t in range(n_tasks):
+        ctxs, xs_all, ys_all = [], [], []
+        for r in range(n_runs):
+            x, y, labels = runs_tasks[r][t]
+            new = sorted(set(int(v) for v in np.asarray(y).reshape(-1)))
+            old_mask = np.zeros(n_cls, bool)
+            old_mask[sorted(old_labels[r])] = True
+            new_mask = np.zeros(n_cls, bool)
+            new_mask[new] = True
+            ctxs.append(TaskCtx(old_mask=jnp.asarray(old_mask),
+                                new_mask=jnp.asarray(new_mask),
+                                task_seen=jnp.asarray(t, jnp.int32)))
+            sub = jax.random.fold_in(jax.random.PRNGKey(params.seed + r), t)
+            perm = np.asarray(jax.random.permutation(sub, x.shape[0]))
+            nb = x.shape[0] // params.batch
+            xs_all.append(np.asarray(x)[perm][: nb * params.batch].reshape(
+                nb, params.batch, *x.shape[1:]))
+            ys_all.append(np.asarray(y)[perm][: nb * params.batch].reshape(
+                nb, params.batch).astype(np.int32))
+            old_labels[r].update(new)
+        ctx = _stack(ctxs)
+        xs = jnp.asarray(np.stack(xs_all), jnp.float32)
+        ys = jnp.asarray(np.stack(ys_all))
+
+        t0 = time.time()
+        state, _ = task_fn(state, ctx, xs, ys)
+        jax.block_until_ready(jax.tree_util.tree_leaves(state.params)[0])
+        t_train += time.time() - t0
+        stream_images += int(np.prod(xs.shape[:3]))
+
+        for tt in range(t + 1):
+            correct = np.asarray(eval_fn(state, *test_stacked[tt]))
+            totals = np.asarray(jnp.sum(test_stacked[tt][2], axis=(1, 2)))
+            acc[:, t, tt] = correct / np.maximum(totals, 1)
+        if params.verbose:
+            print("task {}: acc {}".format(t, acc[:, t, : t + 1].mean(axis=0)))
+
+    end = time.time()
+    avg_end_acc, avg_end_fgt, avg_acc, avg_bwtp, avg_fwt = compute_performance(acc)
+    print("----------- Total {} run: {}s -----------".format(n_runs, end - start))
+    print("----------- aggregate stream throughput {:.1f} images/sec "
+          "(incl. compile) -----------".format(stream_images / max(t_train, 1e-9)))
+    print("----------- Avg_End_Acc {} Avg_End_Fgt {} Avg_Acc {} Avg_Bwtp {} Avg_Fwt {}-----------"
+          .format(avg_end_acc, avg_end_fgt, avg_acc, avg_bwtp, avg_fwt))
+    return avg_end_acc, avg_end_fgt, avg_acc, avg_bwtp, avg_fwt

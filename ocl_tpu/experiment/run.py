@@ -50,16 +50,24 @@ def multiple_run(params, store=False, save_path=None):
         agent, state = _new_agent_and_state(params, params.seed + run)
         test_loaders = prepare_test_loaders(data_continuum.test_data(), params)
         if params.online:
+            from ocl_tpu.utils.profiling import Throughput
+
+            tput = Throughput()
             for i, (x_train, y_train, labels) in enumerate(data_continuum):
                 if params.verbose:
                     print("-----------run {} training batch {}-------------".format(run, i))
                     print("size: {}, {}".format(x_train.shape, y_train.shape))
-                state = agent.train_learner(state, x_train, y_train)
+                n_imgs = (x_train.shape[0] // params.batch) * params.batch
+                with tput.measure(n_imgs):
+                    state = agent.train_learner(state, x_train, y_train)
+                    jax.block_until_ready(jax.tree_util.tree_leaves(state.params)[0])
                 acc_array = agent.evaluate(state, test_loaders)
                 tmp_acc.append(acc_array)
             run_end = time.time()
             print("-----------run {}-----------avg_end_acc {}-----------train time {}"
                   .format(run, np.mean(tmp_acc[-1]), run_end - run_start))
+            print("-----------run {} stream throughput {:.1f} images/sec "
+                  "(incl. compile)-----------".format(run, tput.images_per_sec()))
             accuracy_list.append(np.array(tmp_acc))
         else:
             xs, ys = [], []

@@ -21,10 +21,12 @@ def knn_sv(eval_feats, eval_y, eval_mask, cand_feats, cand_y, cand_mask, k: int)
     squared euclidean (monotone equivalent to the reference's, aser_utils.py
     :94-116).
     """
+    from ocl_tpu.ops.pallas.distance import pairwise_sqdist
+
     n_eval, n_cand = eval_feats.shape[0], cand_feats.shape[0]
     n_valid = jnp.sum(cand_mask.astype(jnp.int32))
 
-    d = jnp.sum((eval_feats[:, None, :] - cand_feats[None, :, :]) ** 2, axis=-1)
+    d = pairwise_sqdist(eval_feats, cand_feats)
     d = jnp.where(cand_mask[None, :], d, jnp.inf)
     sorted_ind = jnp.argsort(d, axis=1)                       # [n_eval, n_cand]
 
