@@ -194,3 +194,63 @@ def multiple_run_tune_separate(default_params, tune_params, save_path):
     print("----------- Seed {} RAM: {}s -----------".format(default_params.seed,
                                                             result["ram"]))
     return result
+
+
+def multiple_run_tune(default_params, tune_params, save_path):
+    """Tune on the first num_val batches then train the rest, with a per-run
+    CSV results table (reference experiment/run.py:92-176)."""
+    import pandas as pd
+
+    from ocl_tpu.experiment.metrics import single_run_avg_end_fgt
+    from ocl_tpu.utils.io import save_dataframe_csv
+
+    start = time.time()
+    print("Setting up data stream")
+    data_continuum = continuum(default_params.data, default_params.cl_type,
+                               default_params)
+
+    table_path = load_yaml("config/global.yml", key="path")["tables"] + \
+        default_params.data
+    os.makedirs(table_path, exist_ok=True)
+    if not save_path:
+        save_path = "{}_{}.csv".format(
+            getattr(default_params, "model_name", default_params.agent),
+            getattr(default_params, "data_name", default_params.data))
+
+    rows = []
+    accuracy_list = []
+    params_keep = []
+    np.random.seed(default_params.seed)
+    for run in range(default_params.num_runs):
+        tmp_acc = []
+        run_start = time.time()
+        data_continuum.new_run()
+        single_tune(data_continuum, default_params, tune_params,
+                    params_keep, tmp_acc, run)
+        run_end = time.time()
+        print("-----------run {}-----------avg_end_acc {}-----------train time {}"
+              .format(run, np.mean(tmp_acc[-1]), run_end - run_start))
+        accuracy_list.append(np.array(tmp_acc))
+
+        row = {"Run": run}
+        row.update(params_keep[-1])
+        end_task_acc = tmp_acc[-1]
+        for i, a in enumerate(end_task_acc):
+            row["Batch" + str(i + default_params.num_val)] = a
+        row["Avg_End_Acc"] = np.mean(tmp_acc[-1])
+        row["Avg_End_Fgt"] = single_run_avg_end_fgt(np.array(tmp_acc))
+        row["Time"] = run_end - run_start
+        rows.append(row)
+        save_dataframe_csv(pd.DataFrame(rows), table_path, save_path)
+
+    avg_end_acc, avg_end_fgt, avg_acc, avg_bwtp, avg_fwt = compute_performance(
+        np.array(accuracy_list))
+    end = time.time()
+    rows.append({"Run": "Final Result", "Avg_End_Acc": avg_end_acc,
+                 "Avg_End_Fgt": avg_end_fgt, "Time": end - start})
+    save_dataframe_csv(pd.DataFrame(rows), table_path, save_path)
+    print("----------- Total {} run: {}s -----------".format(
+        default_params.num_runs, end - start))
+    print("----------- Avg_End_Acc {} Avg_End_Fgt {} Avg_Acc {} Avg_Bwtp {} Avg_Fwt {}-----------"
+          .format(avg_end_acc, avg_end_fgt, avg_acc, avg_bwtp, avg_fwt))
+    return avg_end_acc
