@@ -54,8 +54,12 @@ class SupContrastReplay(ContinualLearner):
 
             for _ in range(mem_iters):
                 rng, r_ret, r_aug = jax.random.split(rng, 3)
+                # SCR retrieves before any backward pass (reference
+                # agents/scr.py:49), so gradient-based strategies see zeros
+                grads_stub = (jax.tree_util.tree_map(jnp.zeros_like, params)
+                              if self.params.retrieve == "MIR" else None)
                 mem_x, mem_y, mem_mask = retrieve_fn(params, stats, buf, xb, yb,
-                                                     None, r_ret)
+                                                     grads_stub, r_ret)
                 comb_x = jnp.concatenate([mem_x, xb])
                 comb_y = jnp.concatenate([mem_y, yb])
                 comb_mask = jnp.concatenate([mem_mask, jnp.ones(yb.shape, bool)])

@@ -18,6 +18,13 @@ from ocl_tpu.buffer.retrieve import class_balanced_sample, random_retrieve, samp
 
 def build_update(agent):
     name = agent.params.update
+    if agent.params.mem_size == 0:
+        import jax.numpy as jnp
+
+        def update(params, stats, buf, x, y, rng):
+            return buf, jnp.full((x.shape[0],), -1)
+
+        return update
     if name == "random":
         def update(params, stats, buf, x, y, rng):
             return reservoir_update(buf, x, y, rng)
@@ -37,6 +44,18 @@ def build_update(agent):
 def build_retrieve(agent):
     name = agent.params.retrieve
     k = agent.params.eps_mem_batch
+    if k == 0 or agent.params.mem_size == 0:
+        # finetune baseline (reference config_CVPR/agent/er/finetune.yml:
+        # mem_size 0, eps_mem_batch 0): retrieval is always empty. A 1-wide
+        # all-masked slice keeps downstream shapes compilable.
+        import jax.numpy as jnp
+
+        def retrieve(params, stats, buf, x, y, grads, rng):
+            shape = (1,) + buf.imgs.shape[1:]
+            return (jnp.zeros(shape, jnp.float32), jnp.zeros((1,), jnp.int32),
+                    jnp.zeros((1,), bool))
+
+        return retrieve
     if name == "random":
         def retrieve(params, stats, buf, x, y, grads, rng):
             mx, my, _, mask = random_retrieve(buf, k, rng)

@@ -29,6 +29,8 @@ def _stream(p, n_tasks=2, per_task=40):
     ("ICARL", {}),
     ("GDUMB", {"mem_epoch": 2, "mem_size": 40}),
     ("SCR", {"eps_mem_batch": 10, "head": "mlp"}),
+    ("SCR", {"eps_mem_batch": 10, "review_trick": True}),
+    ("ER", {"mem_size": 0, "eps_mem_batch": 0}),
     ("ER", {"labels_trick": True}),
     ("ER", {"separated_softmax": True}),
     ("ER", {"kd_trick": True}),
