@@ -35,7 +35,7 @@ class AGEM(ContinualLearner):
         retrieve_fn, update_fn = self.retrieve_fn, self.update_fn
 
         def loss_fn(p, stats, xb, yb, ctx, agent_state, mask):
-            logits, new_stats = forward_train(self.module, p, stats, xb)
+            logits, new_stats = forward_train(self.module, p, stats, xb, w=mask)
             loss = self.criterion(logits, yb, ctx, mask)
             loss = self.maybe_kd_blend(loss, logits, xb, ctx, agent_state, mask)
             return loss, (new_stats, logits)

@@ -176,16 +176,27 @@ class ContinualLearner:
         raise NotImplementedError
 
     def batchify(self, state, x, y, batch_size=None, drop_last=True):
-        """Shuffle + reshape a task's data to [n_batches, B, ...] device arrays."""
+        """Shuffle + reshape a task's data to [n_batches, B, ...] device arrays.
+
+        With --epoch > 1 the batches repeat with a fresh shuffle per epoch
+        (reference DataLoader re-shuffles each epoch, agents/exp_replay.py:33),
+        so one scan covers the whole multi-epoch pass.
+        """
         bs = batch_size or self.params.batch
+        epochs = max(1, int(getattr(self.params, "epoch", 1)))
         rng, shuffle_rng = jax.random.split(state.rng)
         n = x.shape[0]
-        perm = np.asarray(jax.random.permutation(shuffle_rng, n))
-        x, y = np.asarray(x)[perm], np.asarray(y)[perm]
         n_batches = n // bs
-        x = x[: n_batches * bs].reshape(n_batches, bs, *x.shape[1:])
-        y = y[: n_batches * bs].reshape(n_batches, bs).astype(np.int32)
-        return state.replace(rng=rng), jnp.asarray(x, jnp.float32), jnp.asarray(y)
+        x, y = np.asarray(x), np.asarray(y)
+        xs, ys = [], []
+        for ep in range(epochs):
+            perm = np.asarray(jax.random.permutation(
+                jax.random.fold_in(shuffle_rng, ep), n))
+            xs.append(x[perm][: n_batches * bs].reshape(n_batches, bs, *x.shape[1:]))
+            ys.append(y[perm][: n_batches * bs].reshape(n_batches, bs).astype(np.int32))
+        return (state.replace(rng=rng),
+                jnp.asarray(np.concatenate(xs), jnp.float32),
+                jnp.asarray(np.concatenate(ys)))
 
     def _review_pass(self, state: TrainState, ctx: TaskCtx):
         """review_trick: one epoch over the buffer at grads/10

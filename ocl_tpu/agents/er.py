@@ -38,7 +38,7 @@ class ExperienceReplay(ContinualLearner):
         aser_mode = self.aser_mode
 
         def loss_fn(params, stats, xb, yb, ctx, agent_state, mask):
-            logits, new_stats = forward_train(module, params, stats, xb)
+            logits, new_stats = forward_train(module, params, stats, xb, w=mask)
             loss = self.criterion(logits, yb, ctx, mask)
             loss = self.maybe_kd_blend(loss, logits, xb, ctx, agent_state, mask)
             return loss, (new_stats, logits)

@@ -47,7 +47,7 @@ class Icarl(ContinualLearner):
         n_classes = self.n_classes
 
         def loss_fn(p, stats, x_all, targets, row_mask, col_mask):
-            logits, new_stats = forward_train(self.module, p, stats, x_all)
+            logits, new_stats = forward_train(self.module, p, stats, x_all, w=row_mask)
             return bce_ohe(logits, targets, class_mask=col_mask, mask=row_mask), new_stats
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

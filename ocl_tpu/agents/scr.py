@@ -28,8 +28,8 @@ class SupContrastReplay(ContinualLearner):
         self.temp = float(params.temp)
 
     def _two_view_loss(self, p, stats, xb, yb, mask, rng):
-        f1, stats = forward_train(self.module, p, stats, xb)
-        f2, stats = forward_train(self.module, p, stats, scr_transform(rng, xb))
+        f1, stats = forward_train(self.module, p, stats, xb, w=mask)
+        f2, stats = forward_train(self.module, p, stats, scr_transform(rng, xb), w=mask)
         feats = jnp.stack([f1, f2], axis=1)
         return supcon_loss(feats, yb, self.temp, mask=mask), stats
 

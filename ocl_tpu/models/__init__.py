@@ -53,10 +53,13 @@ def init_model(module, rng, data: str):
     return variables["params"], variables.get("batch_stats", {})
 
 
-def forward_train(module, params, batch_stats, x):
-    """Training-mode forward; returns (outputs, updated batch_stats)."""
+def forward_train(module, params, batch_stats, x, w=None):
+    """Training-mode forward; returns (outputs, updated batch_stats).
+
+    `w` [B] optionally excludes masked rows from the BN batch statistics
+    (fixed-shape memory batches carry validity masks)."""
     out, mut = module.apply({"params": params, "batch_stats": batch_stats},
-                            x, train=True, mutable=["batch_stats"])
+                            x, train=True, w=w, mutable=["batch_stats"])
     return out, mut["batch_stats"]
 
 

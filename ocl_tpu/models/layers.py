@@ -41,7 +41,10 @@ class BatchNorm(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, w=None):
+        """`w` [B] optionally masks/weights rows out of the batch statistics
+        (fixed-shape batches with validity masks stand in for the reference's
+        dynamically-sized memory batches)."""
         features = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,))
         bias = self.param("bias", nn.initializers.zeros, (features,))
@@ -50,11 +53,18 @@ class BatchNorm(nn.Module):
 
         if train:
             reduce_axes = tuple(range(x.ndim - 1))
-            n = x.size // features
-            mean = jnp.mean(x, axis=reduce_axes)
-            var = jnp.mean(jnp.square(x - mean), axis=reduce_axes)  # biased
+            if w is None:
+                n = jnp.asarray(x.size // features, jnp.float32)
+                mean = jnp.mean(x, axis=reduce_axes)
+                var = jnp.mean(jnp.square(x - mean), axis=reduce_axes)  # biased
+            else:
+                spatial = x.size // features // x.shape[0]
+                wf = w.astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
+                n = jnp.maximum(jnp.sum(wf) * spatial, 1.0)
+                mean = jnp.sum(x * wf, axis=reduce_axes) / n
+                var = jnp.sum(jnp.square(x - mean) * wf, axis=reduce_axes) / n
             if not self.is_initializing():
-                unbiased = var * (n / max(n - 1, 1))
+                unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
                 m = self.momentum
                 ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
                 ra_var.value = (1.0 - m) * ra_var.value + m * unbiased

@@ -28,14 +28,14 @@ class BasicBlock(nn.Module):
     expansion: int = 1
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, w=None):
         out = Conv3x3(self.planes, self.stride)(x)
-        out = nn.relu(BatchNorm()(out, train))
+        out = nn.relu(BatchNorm()(out, train, w))
         out = Conv3x3(self.planes)(out)
-        out = BatchNorm()(out, train)
+        out = BatchNorm()(out, train, w)
         if self.stride != 1 or x.shape[-1] != self.expansion * self.planes:
             x = Conv1x1(self.expansion * self.planes, self.stride)(x)
-            x = BatchNorm()(x, train)
+            x = BatchNorm()(x, train, w)
         return nn.relu(out + x)
 
 
@@ -45,13 +45,13 @@ class Bottleneck(nn.Module):
     expansion: int = 4
 
     @nn.compact
-    def __call__(self, x, train: bool):
-        out = nn.relu(BatchNorm()(Conv1x1(self.planes)(x), train))
-        out = nn.relu(BatchNorm()(Conv3x3(self.planes, self.stride)(out), train))
-        out = BatchNorm()(Conv1x1(self.expansion * self.planes)(out), train)
+    def __call__(self, x, train: bool, w=None):
+        out = nn.relu(BatchNorm()(Conv1x1(self.planes)(x), train, w))
+        out = nn.relu(BatchNorm()(Conv3x3(self.planes, self.stride)(out), train, w))
+        out = BatchNorm()(Conv1x1(self.expansion * self.planes)(out), train, w)
         if self.stride != 1 or x.shape[-1] != self.expansion * self.planes:
             x = Conv1x1(self.expansion * self.planes, self.stride)(x)
-            x = BatchNorm()(x, train)
+            x = BatchNorm()(x, train, w)
         return nn.relu(out + x)
 
 
@@ -79,19 +79,19 @@ class ResNet(nn.Module):
         self.stages = layers
         self.linear = TorchLinear(self.num_classes, use_bias=self.bias)
 
-    def features(self, x, train: bool = False):
-        out = nn.relu(self.bn1(self.conv1(x), train))
+    def features(self, x, train: bool = False, w=None):
+        out = nn.relu(self.bn1(self.conv1(x), train, w))
         for stage in self.stages:
             for blk in stage:
-                out = blk(out, train)
+                out = blk(out, train, w)
         out = avg_pool(out, self.pool_window)
         return out.reshape(out.shape[0], -1)
 
     def logits(self, feats):
         return self.linear(feats)
 
-    def __call__(self, x, train: bool = False):
-        return self.logits(self.features(x, train))
+    def __call__(self, x, train: bool = False, w=None):
+        return self.logits(self.features(x, train, w))
 
 
 def Reduced_ResNet18(nclasses, nf=20, bias=True):
@@ -137,11 +137,11 @@ class SupConResNet(nn.Module):
         else:
             raise NotImplementedError(f"head not supported: {self.head}")
 
-    def features(self, x, train: bool = False):
-        return self.encoder.features(x, train)
+    def features(self, x, train: bool = False, w=None):
+        return self.encoder.features(x, train, w)
 
-    def __call__(self, x, train: bool = False):
-        feat = self.encoder.features(x, train)
+    def __call__(self, x, train: bool = False, w=None):
+        feat = self.encoder.features(x, train, w)
         if self.head == "mlp":
             feat = self.head_layers[1](nn.relu(self.head_layers[0](feat)))
         elif self.head == "linear":

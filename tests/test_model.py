@@ -60,3 +60,37 @@ def test_train_eval_forward_shapes():
     assert logits.shape == (10, 10)
     assert features_eval(m, params, stats, x).shape == (10, 160)
     assert forward_eval(m, params, new_stats, x).shape == (10, 10)
+
+
+def test_masked_bn_equals_smaller_batch():
+    """BN batch statistics with masked rows == statistics of the valid rows
+    alone (fixed-shape memory batches must not pollute running stats)."""
+    m = Reduced_ResNet18(10, nf=4)
+    params, stats = init_model(m, jax.random.PRNGKey(0), "cifar10")
+    g = np.random.RandomState(0)
+    x = jnp.asarray(g.rand(6, 32, 32, 3), jnp.float32)
+    mask = jnp.asarray([True, True, True, False, False, False])
+    logits_m, stats_m = forward_train(m, params, stats, x, w=mask)
+    logits_s, stats_s = forward_train(m, params, stats, x[:3])
+    for a, b in zip(jax.tree_util.tree_leaves(stats_m),
+                    jax.tree_util.tree_leaves(stats_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
+    # valid rows' outputs match too (normalization used the same statistics)
+    np.testing.assert_allclose(np.asarray(logits_m[:3]), np.asarray(logits_s),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_multi_epoch_batchify():
+    from ocl_tpu.config import default_params
+    from ocl_tpu.registry import agents
+
+    p = default_params(data="synthetic", epoch=3, nf=4, mem_size=40, verbose=False)
+    agent = agents["ER"](p)
+    state = agent.init_state(jax.random.PRNGKey(0))
+    g = np.random.RandomState(0)
+    x = g.rand(20, 32, 32, 3).astype(np.float32)
+    state2, xs, ys = agent.batchify(state, x, g.randint(0, 2, 20))
+    assert xs.shape == (6, 10, 32, 32, 3)  # 2 batches x 3 epochs
+    # each epoch covers the same 20 samples in a different order
+    flat = np.asarray(ys).reshape(3, 20)
+    assert (np.sort(flat, axis=1) == np.sort(flat[0])).all()
