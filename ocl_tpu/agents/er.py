@@ -36,6 +36,13 @@ class ExperienceReplay(ContinualLearner):
         mem_iters = int(self.params.mem_iters)
         retrieve_fn, update_fn = self.retrieve_fn, self.update_fn
         aser_mode = self.aser_mode
+        # fused replay: one forward/backward over [batch; memory] instead of
+        # two sequential ones. Same summed loss and gradients up to BN
+        # coupling (one combined masked statistic fold vs the reference's two
+        # sequential folds) — opt-in, and only where retrieval does not need
+        # the batch gradients first.
+        fused = bool(getattr(self.params, "fused_replay", False)) and \
+            not aser_mode and self.params.retrieve in ("random", "match")
 
         def loss_fn(params, stats, xb, yb, ctx, agent_state, mask):
             logits, new_stats = forward_train(module, params, stats, xb, w=mask)
@@ -45,11 +52,46 @@ class ExperienceReplay(ContinualLearner):
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+        def fused_loss_fn(params, stats, xb, yb, mem_x, mem_y, mem_mask, ctx,
+                          agent_state):
+            batch = xb.shape[0]
+            comb_x = jnp.concatenate([xb, mem_x])
+            comb_y = jnp.concatenate([yb, mem_y])
+            comb_mask = jnp.concatenate([jnp.ones(yb.shape, bool), mem_mask])
+            logits, new_stats = forward_train(module, params, stats, comb_x,
+                                              w=comb_mask)
+            loss_b = self.criterion(logits[:batch], yb, ctx)
+            loss_b = self.maybe_kd_blend(loss_b, logits[:batch], xb, ctx,
+                                         agent_state)
+            loss_m = self.criterion(logits[batch:], mem_y, ctx, mem_mask)
+            loss_m = jnp.where(jnp.any(mem_mask), loss_m, 0.0)
+            return loss_b + loss_m, (new_stats, logits[:batch], loss_b)
+
+        fused_grad_fn = jax.value_and_grad(fused_loss_fn, has_aux=True)
+
         def step(state, ctx, xb, yb):
             params, stats = state.params, state.batch_stats
             opt_state, buf = state.opt_state, state.buffer
             rng = state.rng
             loss_b = acc_b = jnp.zeros(())
+
+            if fused:
+                for _ in range(mem_iters):
+                    rng, r_ret = jax.random.split(rng)
+                    mem_x, mem_y, mem_mask = retrieve_fn(params, stats, buf,
+                                                         xb, yb, None, r_ret)
+                    (_, (stats, logits_b, loss_b)), grads = fused_grad_fn(
+                        params, stats, xb, yb, mem_x, mem_y, mem_mask, ctx,
+                        state.agent)
+                    acc_b = jnp.mean(
+                        (jnp.argmax(logits_b, 1) == yb).astype(jnp.float32))
+                    updates, opt_state = tx.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                rng, r_upd = jax.random.split(rng)
+                buf, _ = update_fn(params, stats, buf, xb, yb, r_upd)
+                new_state = state.replace(params=params, batch_stats=stats,
+                                          opt_state=opt_state, buffer=buf, rng=rng)
+                return new_state, {"loss": loss_b, "acc": acc_b}
 
             for _ in range(mem_iters):
                 rng, r_ret, r_mem = jax.random.split(rng, 3)

@@ -143,6 +143,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--parallel_runs", dest="parallel_runs", default=False,
                         type=boolean_string,
                         help="vmap all num_runs runs into one on-device program")
+    parser.add_argument("--fused_replay", dest="fused_replay", default=False,
+                        type=boolean_string,
+                        help="ER: one fused forward/backward over batch+memory "
+                             "(~1.5x step speed; BN folds one combined statistic "
+                             "instead of the reference's two sequential folds)")
     return parser
 
 

@@ -28,3 +28,13 @@ def test_graft_entry_and_dryrun():
     out = jax.jit(fwd)(*args)
     assert out.shape == (10, 10)
     ge.dryrun_multichip(8)
+
+
+def test_fused_replay_learns_equivalently():
+    """--fused_replay: one fused forward/backward, same learning outcome."""
+    p = default_params(data="synthetic", num_runs=1, num_tasks=3, mem_size=150,
+                       eps_mem_batch=10, synthetic_size=60, verbose=False,
+                       test_batch=32, nf=4, fix_order=True, fused_replay=True)
+    (aea, _), (aef, _), _, _, _ = multiple_run(p)
+    assert aea > 0.8, f"fused replay Avg_End_Acc too low: {aea}"
+    assert aef < 0.2
