@@ -233,8 +233,7 @@ class ContinualLearner:
             return self._evaluate_error_analysis(state, test_loaders)
         eval_fn = self._eval_cache.get("softmax")
         if eval_fn is None:
-            @jax.jit
-            def eval_fn(params, stats, x, y, m):
+            def eval_batches(params, stats, x, y, m):
                 def body(carry, inp):
                     xb, yb, mb = inp
                     logits = self.forward_eval_logits(params, stats, xb)
@@ -244,6 +243,23 @@ class ContinualLearner:
                 correct, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), (x, y, m))
                 return correct
 
+            n_dev = int(getattr(self.params, "n_devices", 0) or 0)
+            if n_dev > 1 and len(jax.devices()) >= n_dev:
+                # evaluation fan-out: shard test batches over the mesh
+                # (SURVEY.md §5.8 — eval after every task is embarrassingly
+                # parallel over test shards)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ocl_tpu.parallel.mesh import get_mesh, replicated
+
+                mesh = get_mesh(n_dev)
+                rep = replicated(mesh)
+                shard = NamedSharding(mesh, P(None, "data"))
+                eval_fn = jax.jit(eval_batches,
+                                  in_shardings=(rep, rep, shard, shard, shard),
+                                  out_shardings=rep)
+            else:
+                eval_fn = jax.jit(eval_batches)
             self._eval_cache["softmax"] = eval_fn
         accs = np.zeros(len(test_loaders))
         for t, (x, y, m) in enumerate(test_loaders):

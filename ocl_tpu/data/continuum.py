@@ -7,6 +7,10 @@ from ocl_tpu.registry import data_objects
 
 class continuum:
     def __init__(self, dataset, scenario, params):
+        if dataset not in data_objects:
+            raise ValueError(
+                "unknown dataset {!r}; available: {}".format(
+                    dataset, ", ".join(sorted(data_objects))))
         self.data_object = data_objects[dataset](scenario, params)
         self.run = params.num_runs
         self.task_nums = self.data_object.task_nums
