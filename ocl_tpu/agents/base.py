@@ -173,6 +173,23 @@ class ContinualLearner:
         return state
 
     def train_task(self, state, ctx, x_train, y_train):
+        """Template: batchify, jit-cache the scanned task fn, run, report."""
+        state, xs, ys = self.batchify(state, x_train, y_train)
+        fn = self._eval_cache.get("train")
+        if fn is None:
+            fn = jax.jit(self._build_train_task_fn(), donate_argnums=0)
+            self._eval_cache["train"] = fn
+        state, metrics = fn(state, ctx, xs, ys)
+        if self.verbose and "loss" in metrics:
+            loss = jnp.asarray(metrics["loss"])
+            acc = jnp.asarray(metrics.get("acc", jnp.zeros_like(loss)))
+            for i in range(1, loss.shape[0], 100):
+                print("==>>> it: {}, avg. loss: {:.6f}, running train acc: {:.3f}"
+                      .format(i, float(jnp.mean(loss[: i + 1])),
+                              float(jnp.mean(acc[: i + 1]))))
+        return state
+
+    def _build_train_task_fn(self):
         raise NotImplementedError
 
     def batchify(self, state, x, y, batch_size=None, drop_last=True):

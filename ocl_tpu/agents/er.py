@@ -26,7 +26,6 @@ class ExperienceReplay(ContinualLearner):
         self.retrieve_fn = build_retrieve(self)
         self.update_fn = build_update(self)
         self.aser_mode = params.update == "ASER" or params.retrieve == "ASER"
-        self._task_fns = {}
 
     def _build_train_task(self):
         return jax.jit(self._build_train_task_fn(), donate_argnums=0)
@@ -142,17 +141,3 @@ class ExperienceReplay(ContinualLearner):
 
         return train_task_fn
 
-    def train_task(self, state, ctx, x_train, y_train):
-        state, xs, ys = self.batchify(state, x_train, y_train)
-        key = xs.shape
-        if key not in self._task_fns:
-            self._task_fns[key] = self._build_train_task()
-        state, metrics = self._task_fns[key](state, ctx, xs, ys)
-        if self.verbose:
-            loss = jnp.asarray(metrics["loss"])
-            acc = jnp.asarray(metrics["acc"])
-            for i in range(1, loss.shape[0], 100):
-                print("==>>> it: {}, avg. loss: {:.6f}, running train acc: {:.3f}"
-                      .format(i, float(jnp.mean(loss[: i + 1])),
-                              float(jnp.mean(acc[: i + 1]))))
-        return state

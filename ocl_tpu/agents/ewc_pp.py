@@ -101,16 +101,10 @@ class EWC_pp(ContinualLearner):
         return train_task_fn
 
     def train_task(self, state, ctx, x_train, y_train):
-        state, xs, ys = self.batchify(state, x_train, y_train)
         ag = dict(state.agent)
         ag["step_in_task"] = jnp.zeros((), jnp.int32)
         state = state.replace(agent=ag)
-        fn = self._eval_cache.get("train")
-        if fn is None:
-            fn = jax.jit(self._build_train_task_fn(), donate_argnums=0)
-            self._eval_cache["train"] = fn
-        state, metrics = fn(state, ctx, xs, ys)
-        return state
+        return super().train_task(state, ctx, x_train, y_train)
 
     def after_train(self, state, ctx):
         from ocl_tpu.utils.meters import tree_copy

@@ -59,11 +59,3 @@ class Lwf(ContinualLearner):
                 "teacher_stats": tree_copy(batch_stats),
                 "has_teacher": jnp.zeros((), jnp.float32)}
 
-    def train_task(self, state, ctx, x_train, y_train):
-        state, xs, ys = self.batchify(state, x_train, y_train)
-        fn = self._eval_cache.get("train")
-        if fn is None:
-            fn = jax.jit(self._build_train_task_fn(), donate_argnums=0)
-            self._eval_cache["train"] = fn
-        state, metrics = fn(state, ctx, xs, ys)
-        return state

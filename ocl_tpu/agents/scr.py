@@ -33,9 +33,6 @@ class SupContrastReplay(ContinualLearner):
         feats = jnp.stack([f1, f2], axis=1)
         return supcon_loss(feats, yb, self.temp, mask=mask), stats
 
-    def _build_train_task(self):
-        return jax.jit(self._build_train_task_fn(), donate_argnums=0)
-
     def _build_train_task_fn(self):
         tx = self.tx
         mem_iters = int(self.params.mem_iters)
@@ -93,17 +90,6 @@ class SupContrastReplay(ContinualLearner):
 
         return train_task_fn
 
-    def train_task(self, state, ctx, x_train, y_train):
-        state, xs, ys = self.batchify(state, x_train, y_train)
-        if "train" not in self._eval_cache:
-            self._eval_cache["train"] = self._build_train_task()
-        state, metrics = self._eval_cache["train"](state, ctx, xs, ys)
-        if self.verbose:
-            loss = jnp.asarray(metrics["loss"])
-            for i in range(1, loss.shape[0], 100):
-                print("==>>> it: {}, avg. loss: {:.6f}, ".format(
-                    i, float(jnp.mean(loss[: i + 1]))))
-        return state
 
     def review_loss(self, params, stats, xb, yb, ctx, rng):
         """review_trick for SCR uses the two-view SupCon objective
