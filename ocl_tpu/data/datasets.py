@@ -210,11 +210,18 @@ class CORE50(DatasetBase):
             self.labels = pickle.load(f)
 
     def _load_imgs(self, idx_list):
+        paths = [os.path.join(self.root, self.paths[idx]) for idx in idx_list]
+        # native multithreaded decode (csrc/dataio.cpp); PIL fallback
+        from ocl_tpu.data.native_io import decode_jpeg_batch
+
+        x = decode_jpeg_batch(paths, 128, 128)
+        if x is not None:
+            return x
         from PIL import Image
 
-        x = np.zeros((len(idx_list), 128, 128, 3), dtype=np.uint8)
-        for i, idx in enumerate(idx_list):
-            x[i] = np.array(Image.open(os.path.join(self.root, self.paths[idx])))
+        x = np.zeros((len(paths), 128, 128, 3), dtype=np.uint8)
+        for i, p in enumerate(paths):
+            x[i] = np.array(Image.open(p))
         return x
 
     def setup(self, cur_run):
