@@ -74,8 +74,7 @@ class ContinualLearner:
         self.task_seen = 0
         self.class_task_map: dict = {}
         self.verbose = params.verbose
-        self._train_task_jit = None
-        self._eval_cache = {}
+        self._eval_cache = {}  # jitted fns keyed by role (train/eval/ncm/...)
         # error-analysis accumulators (reference agents/base.py:33-40)
         self.error_list: list = []
         self.new_class_score: list = []
