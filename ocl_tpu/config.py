@@ -136,6 +136,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="devices to shard eval over; 0 = all available")
     parser.add_argument("--synthetic_size", dest="synthetic_size", default=2000, type=int,
                         help="train images per class for the synthetic dataset")
+    parser.add_argument("--synthetic_difficulty", dest="synthetic_difficulty",
+                        default=0.0, type=float,
+                        help="0..1: shrinks class separation / raises noise")
     parser.add_argument("--nf", dest="nf", default=20, type=int,
                         help="backbone width (reference fixes nf=20; smaller for CPU tests)")
     parser.add_argument("--max_experts", dest="max_experts", default=10, type=int,

@@ -302,8 +302,11 @@ class Synthetic(_SplitClassDataset):
     """Deterministic class-clustered Gaussian image stream (no files needed).
 
     Each class c has a fixed random template image; samples are
-    template + N(0, 0.15). Learnable by a convnet, streams/evaluates exactly
-    like cifar10 under both NC and NI protocols.
+    0.5 + scale*(template-0.5) + N(0, noise). Learnable by a convnet,
+    streams/evaluates exactly like cifar10 under both NC and NI protocols.
+    `synthetic_difficulty` (0..1, default 0) shrinks class separation and
+    raises noise so continual-learning dynamics (forgetting, replay gains)
+    become visible.
     """
 
     n_classes = 10
@@ -312,17 +315,22 @@ class Synthetic(_SplitClassDataset):
     def __init__(self, scenario, params):
         self.n_classes = getattr(params, "synthetic_classes", 10)
         self.per_class = getattr(params, "synthetic_size", 2000)
+        self.difficulty = float(getattr(params, "synthetic_difficulty", 0.0))
         super().__init__("synthetic", scenario, params)
 
     def download_load(self):
         gen = np.random.RandomState(1234)
         templates = gen.rand(self.n_classes, self.img_size, self.img_size, 3)
+        scale = 1.0 - 0.85 * self.difficulty    # class separation
+        noise = 0.15 + 0.25 * self.difficulty   # per-sample noise
 
         def make(n_per_class, seed):
             g = np.random.RandomState(seed)
             xs, ys = [], []
             for c in range(self.n_classes):
-                x = templates[c] + g.normal(0, 0.15, (n_per_class, self.img_size, self.img_size, 3))
+                base = 0.5 + scale * (templates[c] - 0.5)
+                x = base + g.normal(0, noise,
+                                    (n_per_class, self.img_size, self.img_size, 3))
                 xs.append(np.clip(x, 0, 1))
                 ys.append(np.full(n_per_class, c))
             x = np.concatenate(xs).astype(np.float32)
