@@ -34,6 +34,7 @@ def _stream(p, n_tasks=2, per_task=40):
     ("ER", {"labels_trick": True}),
     ("ER", {"separated_softmax": True}),
     ("ER", {"kd_trick": True}),
+    ("ER", {"kd_trick_star": True}),
     ("ER", {"review_trick": True}),
     ("ER", {"ncm_trick": True}),
 ])

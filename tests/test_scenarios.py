@@ -100,3 +100,17 @@ def test_pretrained_surface(tmp_path):
                                         input_size=32)
     leaf2 = jax.tree_util.tree_flatten_with_path(params2)[0][0][1]
     np.testing.assert_allclose(np.asarray(leaf2), 1.0)
+
+
+def test_profiling_utils(tmp_path):
+    import jax.numpy as jnp
+
+    from ocl_tpu.utils.profiling import Throughput, trace
+
+    tput = Throughput()
+    with tput.measure(100, sync=jnp.ones(4)):
+        pass
+    assert tput.images_per_sec() > 0
+    with trace(str(tmp_path / "tr")) as d:
+        jnp.sum(jnp.ones((8, 8))).block_until_ready()
+    assert os.path.isdir(d)
