@@ -60,6 +60,21 @@ def multiple_run_parallel(params, store=False, save_path=None):
               for r in range(n_runs)]
     state = _stack(states)
 
+    # one-run-per-chip placement: with >= n_runs devices, shard the run axis
+    # so each device trains its own run with plain (un-batched) convolutions —
+    # the scaling path for multi-chip meshes. Single chip: all runs local.
+    run_sharding = None
+    if len(jax.devices()) >= n_runs > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ocl_tpu.parallel.mesh import get_mesh
+
+        mesh = get_mesh(n_runs)
+        run_sharding = NamedSharding(mesh, P("data"))
+        state = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, run_sharding), state)
+        print("runs sharded one-per-device over {} devices".format(n_runs))
+
     task_fn = jax.jit(jax.vmap(agent._build_train_task_fn()), donate_argnums=0)
 
     @jax.jit
@@ -113,6 +128,11 @@ def multiple_run_parallel(params, store=False, save_path=None):
         ctx = _stack(ctxs)
         xs = jnp.asarray(np.stack(xs_all), jnp.float32)
         ys = jnp.asarray(np.stack(ys_all))
+        if run_sharding is not None:
+            ctx = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, run_sharding), ctx)
+            xs = jax.device_put(xs, run_sharding)
+            ys = jax.device_put(ys, run_sharding)
 
         t0 = time.time()
         state, _ = task_fn(state, ctx, xs, ys)
