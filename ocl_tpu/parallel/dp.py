@@ -24,12 +24,13 @@ def make_dp_train_task(agent, mesh):
     axis. Gradients reduce over ICI automatically.
     """
     fn = agent._build_train_task_fn()
-    state_shard = replicated(mesh)
-    # xs: [n_batches, B, ...] — shard the per-step batch axis (axis 1)
+    # xs: [n_batches, B, ...] — shard the per-step batch axis (axis 1).
+    # State/ctx shardings are left unspecified so caller placement wins
+    # (e.g. a slot-sharded buffer next to replicated params).
     xs_shard = NamedSharding(mesh, P(None, "data"))
     return jax.jit(
         fn,
-        in_shardings=(state_shard, state_shard, xs_shard, xs_shard),
+        in_shardings=(None, None, xs_shard, xs_shard),
         out_shardings=None,
     )
 
