@@ -200,11 +200,21 @@ def merge_yaml_params(*yaml_dicts, **extra) -> SimpleNamespace:
 def apply_platform_env():
     """Honor JAX_PLATFORMS even when a sitecustomize plugin force-set
     jax_platforms after import (this image's axon register() does): re-apply
-    the env var via jax.config before first backend use."""
+    the env var via jax.config before first backend use. Also enables the
+    persistent compilation cache — compiles dominate cold-start time for the
+    scanned task programs."""
     import os
+
+    import jax
 
     want = os.environ.get("JAX_PLATFORMS")
     if want:
-        import jax
-
         jax.config.update("jax_platforms", want)
+    cache_dir = os.environ.get("OCL_TPU_CACHE",
+                               os.path.expanduser("~/.cache/ocl_tpu_xla"))
+    if cache_dir != "off":
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        except Exception:
+            pass

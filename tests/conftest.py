@@ -18,3 +18,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: repeat suite runs skip the big scan compiles
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/ocl_tpu_xla_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
