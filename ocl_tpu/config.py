@@ -146,6 +146,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--parallel_runs", dest="parallel_runs", default=False,
                         type=boolean_string,
                         help="vmap all num_runs runs into one on-device program")
+    parser.add_argument("--ckpt_dir", dest="ckpt_dir", default=None,
+                        help="checkpoint the full train state after every task "
+                             "and resume from it on restart")
     parser.add_argument("--fused_replay", dest="fused_replay", default=False,
                         type=boolean_string,
                         help="ER: one fused forward/backward over batch+memory "

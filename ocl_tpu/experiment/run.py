@@ -41,19 +41,44 @@ def multiple_run(params, store=False, save_path=None):
             save_path = getattr(params, "model_name", params.agent) + "_" + \
                 getattr(params, "data_name", params.data) + ".pkl"
 
+    # crash-resume: restore (run, task, accuracies, full TrainState) if a
+    # checkpoint exists (new aux subsystem; the reference's save_model has no
+    # call site, SURVEY.md §5.4)
+    ckpt_dir = getattr(params, "ckpt_dir", None)
+    resume_meta = None
+    if ckpt_dir and os.path.exists(os.path.join(ckpt_dir, "meta.pkl")):
+        with open(os.path.join(ckpt_dir, "meta.pkl"), "rb") as f:
+            resume_meta = pickle.load(f)
+        print("resuming from checkpoint: run {} after task {}".format(
+            resume_meta["run"], resume_meta["task"]))
+
     np.random.seed(params.seed)
-    accuracy_list = []
+    accuracy_list = ([np.array(a) for a in resume_meta["accuracy_list"]]
+                     if resume_meta else [])
+    start_run = resume_meta["run"] if resume_meta else 0
     for run in range(params.num_runs):
         tmp_acc = []
         run_start = time.time()
         data_continuum.new_run()
+        if run < start_run:
+            continue  # consumed new_run() keeps the RNG stream aligned
         agent, state = _new_agent_and_state(params, params.seed + run)
         test_loaders = prepare_test_loaders(data_continuum.test_data(), params)
+        resume_task = -1
+        if resume_meta and run == start_run:
+            from ocl_tpu.utils.checkpoint import load_checkpoint, restore_agent_meta
+
+            state, meta = load_checkpoint(ckpt_dir, state)
+            restore_agent_meta(agent, meta["agent"])
+            tmp_acc = [np.array(a) for a in meta["tmp_acc"]]
+            resume_task = meta["task"]
         if params.online:
             from ocl_tpu.utils.profiling import Throughput
 
             tput = Throughput()
             for i, (x_train, y_train, labels) in enumerate(data_continuum):
+                if i <= resume_task:
+                    continue  # already trained before the checkpoint
                 if params.verbose:
                     print("-----------run {} training batch {}-------------".format(run, i))
                     print("size: {}, {}".format(x_train.shape, y_train.shape))
@@ -63,6 +88,18 @@ def multiple_run(params, store=False, save_path=None):
                     jax.block_until_ready(jax.tree_util.tree_leaves(state.params)[0])
                 acc_array = agent.evaluate(state, test_loaders)
                 tmp_acc.append(acc_array)
+                if ckpt_dir:
+                    from ocl_tpu.utils.checkpoint import (
+                        save_checkpoint,
+                        snapshot_agent_meta,
+                    )
+
+                    save_checkpoint(ckpt_dir, state, {
+                        "run": run, "task": i,
+                        "tmp_acc": [np.asarray(a) for a in tmp_acc],
+                        "accuracy_list": [np.asarray(a) for a in accuracy_list],
+                        "agent": snapshot_agent_meta(agent),
+                    })
             run_end = time.time()
             print("-----------run {}-----------avg_end_acc {}-----------train time {}"
                   .format(run, np.mean(tmp_acc[-1]), run_end - run_start))
