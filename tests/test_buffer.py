@@ -104,3 +104,36 @@ def test_valid_mask_prefix():
     buf, _ = reservoir_update(buf, x[:7], y[:7], jax.random.PRNGKey(0))
     vm = np.asarray(valid_mask(buf))
     assert vm[:7].all() and not vm[7:].any()
+
+
+def test_match_labels_distinct_within_class():
+    from ocl_tpu.buffer.match import match_labels
+
+    buf = init_buffer(40, "synthetic")
+    for c in range(4):
+        x = jnp.full((8, 32, 32, 3), c, jnp.float32)
+        y = jnp.full((8,), c, jnp.int32)
+        buf, _ = reservoir_update(buf, x, y, jax.random.PRNGKey(c))
+    want = jnp.asarray([1, 1, 1, 2, 3, 3], jnp.int32)
+    idx, ok = match_labels(buf, 10, want, jax.random.PRNGKey(9))
+    assert bool(ok)
+    labels = np.asarray(buf.labels)[np.asarray(idx)]
+    np.testing.assert_array_equal(labels, np.asarray(want))
+    # within-class picks are distinct (without replacement)
+    idx = np.asarray(idx)
+    for c in (1, 3):
+        picks = idx[np.asarray(want) == c]
+        assert len(set(picks.tolist())) == len(picks)
+
+
+def test_match_labels_insufficient_class_fails():
+    from ocl_tpu.buffer.match import match_labels
+
+    buf = init_buffer(40, "synthetic")
+    x = jnp.zeros((2, 32, 32, 3))
+    y = jnp.zeros((2,), jnp.int32)
+    buf, _ = reservoir_update(buf, x, y, jax.random.PRNGKey(0))
+    # ask for 3 of class 0 when only 2 exist -> whole retrieval invalid
+    _, ok = match_labels(buf, 10, jnp.asarray([0, 0, 0], jnp.int32),
+                         jax.random.PRNGKey(1))
+    assert not bool(ok)
