@@ -16,9 +16,9 @@ import jax
 import numpy as np
 
 from ocl_tpu.data import continuum, prepare_test_loaders
-from ocl_tpu.experiment.metrics import compute_performance, single_run_avg_end_fgt
+from ocl_tpu.experiment.metrics import compute_performance
 from ocl_tpu.registry import agents
-from ocl_tpu.utils.io import check_ram_usage, load_yaml
+from ocl_tpu.utils.io import load_yaml
 
 
 def _new_agent_and_state(params, run_seed):

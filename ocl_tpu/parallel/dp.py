@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ocl_tpu.parallel.mesh import replicated, shard_batch
+from ocl_tpu.parallel.mesh import replicated
 
 
 def make_dp_train_task(agent, mesh):

@@ -4,8 +4,6 @@ Counterpart of running reference general_main.py on a small stream; uses a
 narrow backbone (nf=4) to keep CPU compile time in CI budget.
 """
 
-import numpy as np
-
 from ocl_tpu.config import default_params
 from ocl_tpu.experiment.run import multiple_run
 

@@ -3,12 +3,10 @@ store path, pretrained surface."""
 
 import os
 import pickle
-import tempfile
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from ocl_tpu.config import default_params
 from ocl_tpu.data import prepare_test_loaders
