@@ -17,7 +17,10 @@ def main(args):
     data_params = load_yaml(args.data)
     agent_params = load_yaml(args.agent)
     general_params["verbose"] = args.verbose
-    final_params = merge_yaml_params(general_params, data_params, agent_params)
+    extra = {}
+    if args.nf is not None:
+        extra["nf"] = args.nf  # repo extension: narrow model for 1-core CPU runs
+    final_params = merge_yaml_params(general_params, data_params, agent_params, **extra)
     print(final_params)
 
     np.random.seed(final_params.seed)
@@ -31,4 +34,6 @@ if __name__ == "__main__":
     parser.add_argument("--data", dest="data", default="config/data/cifar100/cifar100_nc.yml")
     parser.add_argument("--agent", dest="agent", default="config/agent/er.yml")
     parser.add_argument("--verbose", type=boolean_string, default=True)
+    parser.add_argument("--nf", dest="nf", default=None, type=int,
+                        help="override model base width (repo extension)")
     main(parser.parse_args())

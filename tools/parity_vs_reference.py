@@ -1,0 +1,212 @@
+"""Accuracy-parity harness: the actual PyTorch reference vs ocl_tpu.
+
+For each agent configuration, generates identical synthetic class-incremental
+streams (per seed), trains BOTH frameworks on them — the reference's own agent
+code via tools/ref_oracle.py (torch CPU), and ocl_tpu (TPU or CPU) — and
+compares Avg_End_Acc / Avg_End_Fgt computed with the same bit-compatible
+metrics (reference: experiment/metrics.py:5-54). Writes PARITY_RESULTS.md.
+
+Trajectories differ by RNG (different frameworks, different samplers), so the
+acceptance is metric-based over multiple seeds, not bitwise — the same
+standard SURVEY.md §7 sets ("matching stochastic trajectories only
+distributionally").
+
+Usage (ocl side on the TPU by default; the torch side is always CPU):
+  python tools/parity_vs_reference.py --agents ER MIR EWC --seeds 3 \
+      --per_class 100 --difficulty 0.85 [--nf 20] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# Agent configurations compared. Keys are report rows; values are param
+# overrides shared by both frameworks (flag names are the parity contract).
+AGENT_CONFIGS = {
+    "ER": dict(agent="ER", update="random", retrieve="random"),
+    "MIR": dict(agent="ER", update="random", retrieve="MIR", subsample=50),
+    "GSS": dict(agent="ER", update="GSS", retrieve="random",
+                gss_mem_strength=10, gss_batch_size=10),
+    "ASER": dict(agent="ER", update="ASER", retrieve="ASER",
+                 aser_type="asvm", k=3, n_smp_cls=2.0),
+    "EWC": dict(agent="EWC", lambda_=100.0, alpha=0.9, fisher_update_after=50),
+    "AGEM": dict(agent="AGEM", update="random", retrieve="random"),
+    "LWF": dict(agent="LWF"),
+    "ICARL": dict(agent="ICARL", update="random", retrieve="random"),
+    "GDUMB": dict(agent="GDUMB", mem_epoch=10, minlr=0.0005, clip=10.0),
+    "SCR": dict(agent="SCR", update="random", retrieve="random",
+                head="mlp", temp=0.07, eps_mem_batch=50),
+}
+
+
+def make_stream(seed, per_class, difficulty, num_tasks):
+    """One synthetic class-incremental stream both frameworks consume.
+
+    Returns (tasks_float, tests_float) — float32 NHWC in [0,1] whose values
+    are exactly uint8/255, so the reference's ToTensor(uint8)/255 path sees
+    bit-identical pixels.
+    """
+    from ocl_tpu.config import default_params
+    from ocl_tpu.data.continuum import continuum
+
+    params = default_params(
+        data="synthetic", cl_type="nc", num_tasks=num_tasks,
+        synthetic_size=per_class, synthetic_difficulty=difficulty,
+        num_runs=1, verbose=False)
+    np.random.seed(seed)
+    cont = continuum("synthetic", "nc", params)
+    cont.new_run()
+    tasks = [(x, y) for (x, y, _labels) in cont]
+    tests = cont.test_data()
+    return tasks, tests
+
+
+def to_uint8(x_float):
+    return np.rint(np.asarray(x_float) * 255.0).astype(np.uint8)
+
+
+def run_ref_side(cfg, tasks, tests, seed, args):
+    import ref_oracle
+    from ocl_tpu.config import default_params
+
+    params = default_params(
+        data="cifar10", cl_type="nc", num_tasks=len(tasks),
+        verbose=False, num_runs=1, nf=args.nf,
+        mem_size=args.mem_size, eps_mem_batch=args.eps_mem_batch,
+        learning_rate=args.lr, batch=args.batch, **cfg)
+    tasks8 = [(to_uint8(x), np.asarray(y, np.int64)) for x, y in tasks]
+    tests8 = [(to_uint8(x), np.asarray(y, np.int64)) for x, y in tests]
+    return ref_oracle.run_reference(params, tasks8, tests8, seed=seed)
+
+
+def run_ocl_side(cfg, tasks, tests, seed, args):
+    import jax
+
+    from ocl_tpu.config import default_params
+    from ocl_tpu.data import prepare_test_loaders
+    from ocl_tpu.registry import agents
+
+    params = default_params(
+        data="synthetic", cl_type="nc", num_tasks=len(tasks),
+        verbose=False, num_runs=1, nf=args.nf,
+        mem_size=args.mem_size, eps_mem_batch=args.eps_mem_batch,
+        learning_rate=args.lr, batch=args.batch, **cfg)
+    agent = agents[params.agent](params)
+    state = agent.init_state(jax.random.PRNGKey(seed))
+    loaders = prepare_test_loaders(tests, params)
+    rows = []
+    for x, y in tasks:
+        state = agent.train_learner(state, np.asarray(x), np.asarray(y))
+        rows.append(np.asarray(agent.evaluate(state, loaders)))
+    return np.stack(rows)
+
+
+def summarize(acc_runs):
+    """(runs, tasks, tasks) accuracy array -> Avg_End_Acc, Avg_End_Fgt."""
+    from ocl_tpu.experiment.metrics import compute_performance
+
+    arr = np.stack(acc_runs)
+    (end_acc, _ci1), (end_fgt, _ci2), _a, _b, _f = compute_performance(arr)
+    return float(end_acc), float(end_fgt)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--agents", nargs="+", default=list(AGENT_CONFIGS))
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--per_class", type=int, default=100)
+    ap.add_argument("--difficulty", type=float, default=0.85)
+    ap.add_argument("--num_tasks", type=int, default=5)
+    ap.add_argument("--mem_size", type=int, default=500)
+    ap.add_argument("--eps_mem_batch", type=int, default=10)
+    ap.add_argument("--lr", type=float, default=0.1)
+    ap.add_argument("--batch", type=int, default=10)
+    ap.add_argument("--nf", type=int, default=20)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the ocl_tpu side onto CPU too")
+    ap.add_argument("--out", default=os.path.join(REPO, "PARITY_RESULTS.md"))
+    ap.add_argument("--json_out", default=os.path.join(REPO, "parity_results.json"))
+    args = ap.parse_args()
+
+    from ocl_tpu.config import apply_platform_env
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    apply_platform_env()
+
+    results = {}
+    for name in args.agents:
+        cfg = AGENT_CONFIGS[name]
+        ref_rows, ocl_rows = [], []
+        t0 = time.time()
+        for seed in range(args.seeds):
+            tasks, tests = make_stream(seed + 1, args.per_class,
+                                       args.difficulty, args.num_tasks)
+            t_ref = time.time()
+            ref_rows.append(run_ref_side(cfg, tasks, tests, seed, args))
+            t_mid = time.time()
+            ocl_rows.append(run_ocl_side(cfg, tasks, tests, seed, args))
+            print(f"[{name} seed {seed}] ref {t_mid - t_ref:.0f}s "
+                  f"ocl {time.time() - t_mid:.0f}s "
+                  f"end_acc ref {ref_rows[-1][-1].mean():.3f} "
+                  f"ocl {ocl_rows[-1][-1].mean():.3f}", flush=True)
+        ref_acc, ref_fgt = summarize(ref_rows)
+        ocl_acc, ocl_fgt = summarize(ocl_rows)
+        results[name] = dict(
+            ref_acc=ref_acc, ocl_acc=ocl_acc, d_acc=ocl_acc - ref_acc,
+            ref_fgt=ref_fgt, ocl_fgt=ocl_fgt, d_fgt=ocl_fgt - ref_fgt,
+            seconds=round(time.time() - t0, 1))
+        print(f"[{name}] ref acc {ref_acc:.3f} ocl acc {ocl_acc:.3f} "
+              f"delta {ocl_acc - ref_acc:+.3f}", flush=True)
+        with open(args.json_out, "w") as f:
+            json.dump(dict(args=vars(args), results=results), f, indent=1)
+
+    write_report(args, results)
+
+
+def write_report(args, results):
+    lines = [
+        "# PARITY_RESULTS — reference (PyTorch) vs ocl_tpu, same streams",
+        "",
+        "Produced by `tools/parity_vs_reference.py`: the reference's own agent",
+        "and buffer code (driven in-process via `tools/ref_oracle.py`, torch",
+        "CPU) and ocl_tpu trained on identical synthetic class-incremental",
+        f"streams ({args.num_tasks} tasks, {args.per_class}/class,",
+        f"difficulty {args.difficulty}, mem {args.mem_size}, lr {args.lr},",
+        f"nf {args.nf}, {args.seeds} seeds). Metrics via the bit-compatible",
+        "`compute_performance` (reference experiment/metrics.py:5-44).",
+        "",
+        "| Agent | ref Avg_End_Acc | ocl Avg_End_Acc | Δacc | ref Avg_End_Fgt | ocl Avg_End_Fgt | Δfgt |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, r in results.items():
+        lines.append(
+            "| {} | {:.3f} | {:.3f} | {:+.3f} | {:.3f} | {:.3f} | {:+.3f} |".format(
+                name, r["ref_acc"], r["ocl_acc"], r["d_acc"],
+                r["ref_fgt"], r["ocl_fgt"], r["d_fgt"]))
+    lines += [
+        "",
+        "Positive Δacc = ocl_tpu higher. Stochastic trajectories differ by",
+        "RNG; agreement is assessed on the run-averaged metrics.",
+        "SCR uses functional torch re-implementations of the kornia ops on",
+        "the reference side (tools/ref_oracle.py) — augmentation parity is",
+        "distributional, not exact.",
+        "",
+    ]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines))
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
