@@ -179,6 +179,13 @@ class ContinualLearner:
             fn = jax.jit(self._build_train_task_fn(), donate_argnums=0)
             self._eval_cache["train"] = fn
         state, metrics = fn(state, ctx, xs, ys)
+        if getattr(self.params, "debug_nans", False) and "loss" in metrics:
+            loss = np.asarray(metrics["loss"])
+            if not np.all(np.isfinite(loss)):
+                bad = int(np.nonzero(~np.isfinite(loss))[0][0])
+                raise FloatingPointError(
+                    "non-finite loss at step {} of task {} (--debug_nans)".format(
+                        bad, self.task_seen))
         if self.verbose and "loss" in metrics:
             loss = jnp.asarray(metrics["loss"])
             acc = jnp.asarray(metrics.get("acc", jnp.zeros_like(loss)))

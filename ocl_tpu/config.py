@@ -154,7 +154,29 @@ def build_parser() -> argparse.ArgumentParser:
                         help="ER: one fused forward/backward over batch+memory "
                              "(~1.5x step speed; BN folds one combined statistic "
                              "instead of the reference's two sequential folds)")
+    parser.add_argument("--core50_cache", dest="core50_cache", default=True,
+                        type=boolean_string,
+                        help="md5-keyed decoded-image bin cache for CORe50 "
+                             "(reference core50.py:100-158, enabled here)")
+    parser.add_argument("--debug_nans", dest="debug_nans", default=False,
+                        type=boolean_string,
+                        help="debug mode: enable jax_debug_nans and raise "
+                             "FloatingPointError on any non-finite task loss "
+                             "(SURVEY.md §5.2 sanitizer replacement)")
     return parser
+
+
+def maybe_enable_debug_nans(params) -> None:
+    """Turn on JAX's NaN checker when --debug_nans is set (SURVEY.md §5.2).
+
+    The per-step finite-loss assert lives in agents/base.py:train_task; this
+    global flag additionally makes XLA re-run offending ops un-jitted so the
+    failing primitive is named in the traceback.
+    """
+    if getattr(params, "debug_nans", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
 
 def finalize(params: SimpleNamespace) -> SimpleNamespace:

@@ -90,7 +90,8 @@ class _SplitClassDataset(DatasetBase):
             self.train_set, self.val_set, self.test_set = construct_ns_multiple_wrapper(
                 self.train_data, self.train_label, self.test_data, self.test_label,
                 self.task_nums, self.img_size, self.params.val_size,
-                self.params.ns_type, self.params.ns_factor)
+                self.params.ns_type, self.params.ns_factor,
+                plot=bool(getattr(self.params, "plot_sample", False)))
         elif self.scenario == "nc":
             self.task_labels = create_task_composition(
                 class_nums=self.n_classes, num_tasks=self.task_nums,
@@ -210,18 +211,35 @@ class CORE50(DatasetBase):
             self.labels = pickle.load(f)
 
     def _load_imgs(self, idx_list):
-        paths = [os.path.join(self.root, self.paths[idx]) for idx in idx_list]
+        rel_paths = [self.paths[idx] for idx in idx_list]
+        # md5-keyed decoded-array cache (reference core50.py:100-158
+        # get_batch_from_paths; there it ships behind on_the_fly=True and is
+        # never hit — here it is on by default so repeat runs skip JPEG
+        # decode entirely; --core50_cache False disables it)
+        cache_file = None
+        if getattr(self.params, "core50_cache", True):
+            from hashlib import md5
+
+            digest = md5("".join(rel_paths).encode("utf-8")).hexdigest()
+            cache_dir = os.path.join(self.root, "bin_cache")
+            cache_file = os.path.join(cache_dir, digest + "_x.bin")
+            if os.path.exists(cache_file):
+                return np.fromfile(cache_file, dtype=np.uint8).reshape(
+                    len(rel_paths), 128, 128, 3)
+        paths = [os.path.join(self.root, p) for p in rel_paths]
         # native multithreaded decode (csrc/dataio.cpp); PIL fallback
         from ocl_tpu.data.native_io import decode_jpeg_batch
 
         x = decode_jpeg_batch(paths, 128, 128)
-        if x is not None:
-            return x
-        from PIL import Image
+        if x is None:
+            from PIL import Image
 
-        x = np.zeros((len(paths), 128, 128, 3), dtype=np.uint8)
-        for i, p in enumerate(paths):
-            x[i] = np.array(Image.open(p))
+            x = np.zeros((len(paths), 128, 128, 3), dtype=np.uint8)
+            for i, p in enumerate(paths):
+                x[i] = np.array(Image.open(p).convert("RGB").resize((128, 128)))
+        if cache_file is not None:
+            os.makedirs(os.path.dirname(cache_file), exist_ok=True)
+            x.tofile(cache_file)
         return x
 
     def setup(self, cur_run):

@@ -12,6 +12,8 @@ batch axis as well (almost surely unintended); we apply a per-image separable
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -74,8 +76,21 @@ def make_ns(x_uint8, y, ns_type, factor):
     return x.astype(np.float32), y
 
 
+def plot_ns_samples(train_set, ns_type, ns_factor, plot_dir="result/plots"):
+    """Save a 10-image grid per task (reference test_ns / show_sample,
+    non_stationary.py:127-132 — a PNG instead of a matplotlib window)."""
+    from ocl_tpu.utils.plot import save_sample_grid
+
+    paths = []
+    for i, (x, _y) in enumerate(train_set):
+        name = "ns_{}_task{}_factor{}.png".format(ns_type, i, ns_factor[i])
+        paths.append(save_sample_grid(x[:10], os.path.join(plot_dir, name)))
+    return paths
+
+
 def construct_ns_multiple_wrapper(train_data, train_label, test_data, test_label,
-                                  task_nums, img_size, val_size, ns_type, ns_factor):
+                                  task_nums, img_size, val_size, ns_type, ns_factor,
+                                  plot=False, plot_dir="result/plots"):
     """One (train, val, test) triple per ns_factor (reference :182-220)."""
     from ocl_tpu.data.task_compose import train_val_test_split_ni
 
@@ -86,6 +101,8 @@ def construct_ns_multiple_wrapper(train_data, train_label, test_data, test_label
         train_set.append(make_ns(tr_x[i], tr_y[i], ns_type, factor))
         val_set.append(make_ns(va_x[i], va_y[i], ns_type, factor))
         test_set.append(make_ns(te_x[i], te_y[i], ns_type, factor))
+    if plot:
+        plot_ns_samples(train_set, ns_type, ns_factor, plot_dir)
     return train_set, val_set, test_set
 
 

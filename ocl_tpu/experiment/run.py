@@ -28,6 +28,9 @@ def _new_agent_and_state(params, run_seed):
 
 
 def multiple_run(params, store=False, save_path=None):
+    from ocl_tpu.config import maybe_enable_debug_nans
+
+    maybe_enable_debug_nans(params)
     start = time.time()
     print("Setting up data stream")
     data_continuum = continuum(params.data, params.cl_type, params)

@@ -79,11 +79,12 @@ def run_ref_side(cfg, tasks, tests, seed, args):
     import ref_oracle
     from ocl_tpu.config import default_params
 
-    params = default_params(
-        data="cifar10", cl_type="nc", num_tasks=len(tasks),
-        verbose=False, num_runs=1, nf=args.nf,
-        mem_size=args.mem_size, eps_mem_batch=args.eps_mem_batch,
-        learning_rate=args.lr, batch=args.batch, **cfg)
+    kw = dict(data="cifar10", cl_type="nc", num_tasks=len(tasks),
+              verbose=False, num_runs=1, nf=args.nf,
+              mem_size=args.mem_size, eps_mem_batch=args.eps_mem_batch,
+              learning_rate=args.lr, batch=args.batch)
+    kw.update(cfg)  # agent config wins on collisions (e.g. SCR eps_mem_batch)
+    params = default_params(**kw)
     tasks8 = [(to_uint8(x), np.asarray(y, np.int64)) for x, y in tasks]
     tests8 = [(to_uint8(x), np.asarray(y, np.int64)) for x, y in tests]
     return ref_oracle.run_reference(params, tasks8, tests8, seed=seed)
@@ -96,11 +97,12 @@ def run_ocl_side(cfg, tasks, tests, seed, args):
     from ocl_tpu.data import prepare_test_loaders
     from ocl_tpu.registry import agents
 
-    params = default_params(
-        data="synthetic", cl_type="nc", num_tasks=len(tasks),
-        verbose=False, num_runs=1, nf=args.nf,
-        mem_size=args.mem_size, eps_mem_batch=args.eps_mem_batch,
-        learning_rate=args.lr, batch=args.batch, **cfg)
+    kw = dict(data="synthetic", cl_type="nc", num_tasks=len(tasks),
+              verbose=False, num_runs=1, nf=args.nf,
+              mem_size=args.mem_size, eps_mem_batch=args.eps_mem_batch,
+              learning_rate=args.lr, batch=args.batch)
+    kw.update(cfg)
+    params = default_params(**kw)
     agent = agents[params.agent](params)
     state = agent.init_state(jax.random.PRNGKey(seed))
     loaders = prepare_test_loaders(tests, params)

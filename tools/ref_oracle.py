@@ -256,6 +256,12 @@ def run_reference(params, tasks, test_sets, seed=0):
     nf = getattr(params, "nf", 20)
     if nf != 20:
         model = _narrow_model(params, nf)
+        # GDumb re-inits its model through setup_architecture at every task
+        # end (reference agents/gdumb.py:61) — keep the reinit at the same
+        # narrow width or the comparison silently runs at nf=20.
+        import agents.gdumb as _gdumb
+
+        _gdumb.setup_architecture = lambda p: _narrow_model(p, nf)
     else:
         model = setup_architecture(params)
     model = maybe_cuda(model, params.cuda)
