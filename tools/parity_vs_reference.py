@@ -33,7 +33,10 @@ sys.path.insert(0, REPO)
 # Agent configurations compared. Keys are report rows; values are param
 # overrides shared by both frameworks (flag names are the parity contract).
 AGENT_CONFIGS = {
-    "ER": dict(agent="ER", update="random", retrieve="random"),
+    # fused_replay pinned off: the row checks the reference's exact two-pass
+    # schedule; ER_FUSED below checks the (default) fused path.
+    "ER": dict(agent="ER", update="random", retrieve="random",
+               fused_replay=False),
     "MIR": dict(agent="ER", update="random", retrieve="MIR", subsample=50),
     "GSS": dict(agent="ER", update="GSS", retrieve="random",
                 gss_mem_strength=10, gss_batch_size=10),
@@ -46,7 +49,35 @@ AGENT_CONFIGS = {
     "GDUMB": dict(agent="GDUMB", mem_epoch=10, minlr=0.0005, clip=10.0),
     "SCR": dict(agent="SCR", update="random", retrieve="random",
                 head="mlp", temp=0.07, eps_mem_batch=50),
+    # ocl-only variant vs the plain reference ER: validates that the fused
+    # forward/backward (one combined BN statistic fold) stays within the
+    # accuracy budget before it is made the default path.
+    "ER_FUSED": dict(agent="ER", update="random", retrieve="random",
+                     fused_replay=True),
+    # not in the default sweep (slow); run with --agents CNDPM. Sleep steps
+    # are shrunk identically on both sides (see _patch_cndpm_constants).
+    "CNDPM": dict(agent="CNDPM", stm_capacity=200, classifier_chill=0.01,
+                  log_alpha=-300.0),
 }
+
+CNDPM_SLEEP_G, CNDPM_SLEEP_D = 500, 200
+
+
+def _patch_cndpm_constants():
+    """Shrink the 4000/1000 sleep steps identically on both frameworks so the
+    CN-DPM oracle comparison fits the torch-CPU budget (reference
+    global_vars.py:17-18)."""
+    from ocl_tpu.models import ndpm_vars as V
+
+    V.SLEEP_STEP_G, V.SLEEP_STEP_D = CNDPM_SLEEP_G, CNDPM_SLEEP_D
+
+    import ref_oracle
+
+    ref_oracle.ensure_reference_importable()
+    import models.ndpm.ndpm as rndpm  # star-imported constants live per-module
+
+    rndpm.MODELS_NDPM_NDPM_SLEEP_STEP_G = CNDPM_SLEEP_G
+    rndpm.MODELS_NDPM_NDPM_SLEEP_STEP_D = CNDPM_SLEEP_D
 
 
 def make_stream(seed, per_class, difficulty, num_tasks):
@@ -146,7 +177,20 @@ def main():
         os.environ["JAX_PLATFORMS"] = "cpu"
     apply_platform_env()
 
+    if "CNDPM" in args.agents:
+        _patch_cndpm_constants()
+
+    # merge with prior invocations (e.g. a follow-up --agents CNDPM run)
     results = {}
+    if os.path.exists(args.json_out):
+        try:
+            with open(args.json_out) as f:
+                prior = json.load(f)
+            if prior.get("args", {}).get("per_class") == args.per_class and \
+                    prior.get("args", {}).get("seeds") == args.seeds:
+                results = prior.get("results", {})
+        except Exception:
+            pass
     for name in args.agents:
         cfg = AGENT_CONFIGS[name]
         ref_rows, ocl_rows = [], []
