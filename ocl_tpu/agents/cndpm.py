@@ -10,9 +10,11 @@ with replacement), the CRP prior records the STM size, and the STM clears.
 The sleep runs as a `lax.cond` branch *inside* the scanned step, so an entire
 task — including any number of sleeps — is one XLA program. Per-slot
 optimizers are a masked manual SGD/Adam over the stacked parameter leaves
-(fresh state per slot, matching per-expert optimizers; MultiStepLR's
-milestone-1 decay means every wake update runs at 0.2x the base lr since
-experts are only born through sleep).
+(fresh state per slot, matching per-expert optimizers). The per-expert
+MultiStepLR schedule is per-slot step counters (`sched_t`) mapped through
+`multistep_lr`: sleep trains the newborn at the base lr, the two scheduler
+steps at sleep end (reference ndpm.py:184-185) push it past milestone 1, and
+each wake update steps the counter again (ndpm.py:94-95).
 
 Capacity note: when all `max_experts` slots are born, further sleeps clear
 the STM without training (the reference grows unboundedly; static shapes
@@ -40,7 +42,18 @@ def _clip_value(tree, v):
 
 
 def _masked_slot_update(opt_name, lr, grads, opt, params, slot_mask):
-    """Manual per-slot SGD/Adam over stacked [K, ...] leaves."""
+    """Manual per-slot SGD/Adam over stacked [K, ...] leaves.
+
+    `lr` is a scalar or a per-slot [K] vector (the per-expert MultiStepLR
+    schedule, reference models/ndpm/component.py:53-55).
+    """
+    lr = jnp.asarray(lr)
+
+    def blr(a):
+        if lr.ndim == 0:
+            return lr
+        return lr.reshape((-1,) + (1,) * (a.ndim - 1))
+
     def bmask(a):
         return slot_mask.reshape((-1,) + (1,) * (a.ndim - 1)).astype(a.dtype)
 
@@ -61,15 +74,29 @@ def _masked_slot_update(opt_name, lr, grads, opt, params, slot_mask):
             bc2 = 1 - b2 ** tf
             bc1 = bc1.reshape((-1,) + (1,) * (p.ndim - 1))
             bc2 = bc2.reshape((-1,) + (1,) * (p.ndim - 1))
-            step = lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+            step = blr(p) * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
             return p - bmask(p) * step
 
         new_params = jax.tree_util.tree_map(upd, params, new_m, new_v)
         return new_params, {"m": new_m, "v": new_v, "t": t}
     # SGD
     new_params = jax.tree_util.tree_map(
-        lambda p, g: p - bmask(p) * lr * g, params, grads)
+        lambda p, g: p - bmask(p) * blr(p) * g, params, grads)
     return new_params, opt
+
+
+def multistep_lr(base_lr, sched_t, milestones=V.LR_MILESTONES,
+                 gamma=V.LR_GAMMA):
+    """Per-slot torch MultiStepLR: lr * gamma^(#milestones passed).
+
+    sched_t [K] counts scheduler.step() calls per expert (reference
+    component.py:53-55 builds one MultiStepLR per component; ndpm.py:95 steps
+    it after every wake update and ndpm.py:184-185 twice at sleep end).
+    """
+    passed = jnp.zeros_like(sched_t)
+    for m in milestones:
+        passed = passed + (sched_t >= m).astype(jnp.int32)
+    return base_lr * gamma ** passed.astype(jnp.float32)
 
 
 class Cndpm(ContinualLearner):
@@ -104,6 +131,9 @@ class Cndpm(ContinualLearner):
             "stm_y": jnp.zeros((self.stm_capacity + B,), jnp.int32),
             "stm_count": jnp.zeros((), jnp.int32),
             "saturated_sleeps": jnp.zeros((), jnp.int32),
+            # per-expert MultiStepLR step counters (g and d schedulers are
+            # always stepped together, reference expert.py:54-58)
+            "sched_t": jnp.zeros((K,), jnp.int32),
         }
         opt_state = {"g": opt_for(model_params["vae"]),
                      "d": opt_for(model_params["cls"])}
@@ -119,7 +149,6 @@ class Cndpm(ContinualLearner):
         sleep_g = int(getattr(params_ns, "sleep_step_g", V.SLEEP_STEP_G))
         sleep_d = int(getattr(params_ns, "sleep_step_d", V.SLEEP_STEP_D))
         lr = float(params_ns.learning_rate)
-        wake_lr = lr * V.LR_GAMMA
         opt_name = params_ns.optimizer
 
         def wake_loss(model_params, xb, yb, log_counts, rng):
@@ -169,6 +198,11 @@ class Cndpm(ContinualLearner):
 
                 slot_mask = jax.nn.one_hot(k, K, dtype=jnp.float32) > 0
 
+                # the newborn's scheduler has never stepped (sched_t=0) —
+                # sleep trains at the full base lr (decay lands only after
+                # the two post-sleep scheduler steps, reference :184-185)
+                sleep_lr = multistep_lr(lr, ag["sched_t"])
+
                 def train_comp(loss_fn, part, opt_key, steps, carry):
                     mp, opt_state, rng = carry
 
@@ -180,7 +214,8 @@ class Cndpm(ContinualLearner):
                         yb = ag["stm_y"][idx]
                         grads = jax.grad(loss_fn)(mp, xb, yb, r_z)
                         new_part, new_opt = _masked_slot_update(
-                            opt_name, lr, grads[part], opt, mp[part], slot_mask)
+                            opt_name, sleep_lr, grads[part], opt, mp[part],
+                            slot_mask)
                         mp = dict(mp)
                         mp[part] = new_part
                         return mp, new_opt, rng
@@ -201,6 +236,9 @@ class Cndpm(ContinualLearner):
                 ag2["log_counts"] = lc
                 ag2["active"] = ag["active"] + 1
                 ag2["stm_count"] = jnp.zeros((), jnp.int32)
+                # expert.lr_scheduler_step() called twice at sleep end
+                # (reference ndpm.py:184-185) -> newborn crosses milestone 1
+                ag2["sched_t"] = ag["sched_t"].at[k].add(2)
                 return mp, opt_state2, ag2, rng
 
             def saturated(operand):
@@ -232,8 +270,10 @@ class Cndpm(ContinualLearner):
                 ag["log_counts"], jnp.log(jnp.maximum(usage, 1e-30)) +
                 jnp.where(usage > 0, 0.0, -jnp.inf))
 
-            # wake update of used experts at the post-milestone lr
+            # wake update of used experts at each expert's scheduled lr
+            # (post-sleep experts sit past milestone 1 -> 0.2x base)
             slot_mask = usage[1:] > 0
+            wake_lr = multistep_lr(lr, ag["sched_t"])
             model_params = dict(state.params)
             opt_state = dict(state.opt_state)
             model_params["vae"], opt_state["g"] = _masked_slot_update(
@@ -242,6 +282,9 @@ class Cndpm(ContinualLearner):
             model_params["cls"], opt_state["d"] = _masked_slot_update(
                 opt_name, wake_lr, grads["cls"], opt_state["d"],
                 model_params["cls"], slot_mask)
+            # every wake optimizer step also steps the scheduler
+            # (reference ndpm.py:94-95)
+            ag["sched_t"] = ag["sched_t"] + slot_mask.astype(jnp.int32)
 
             model_params, opt_state, ag, rng = jax.lax.cond(
                 ag["stm_count"] >= cap, sleep,
@@ -264,10 +307,19 @@ class Cndpm(ContinualLearner):
             fn = jax.jit(self._build_train_task_fn(), donate_argnums=0)
             self._eval_cache["train"] = fn
         state, metrics = fn(state, xs, ys)
+        n_sat = int(state.agent["saturated_sleeps"])
+        if n_sat > 0:
+            import warnings
+
+            warnings.warn(
+                "CN-DPM: {} sleep(s) hit the --max_experts={} cap and "
+                "discarded their STM contents; results will diverge from the "
+                "unbounded reference — raise --max_experts.".format(
+                    n_sat, self.K), RuntimeWarning, stacklevel=2)
         if self.verbose:
             print("[CNDPM] experts: {} stm: {} saturated_sleeps: {}".format(
                 int(state.agent["active"]), int(state.agent["stm_count"]),
-                int(state.agent["saturated_sleeps"])))
+                n_sat))
         return state
 
     # ------------------------------------------------------------- evaluate

@@ -20,7 +20,7 @@ import optax
 from ocl_tpu.agents.base import ContinualLearner
 from ocl_tpu.buffer import build_update
 from ocl_tpu.buffer.retrieve import random_retrieve
-from ocl_tpu.models import forward_eval, forward_train
+from ocl_tpu.models import forward_teacher, forward_train
 from ocl_tpu.ops.losses import bce_ohe
 
 
@@ -74,9 +74,11 @@ class Icarl(ContinualLearner):
             row_mask = jnp.concatenate([jnp.ones(batch, bool), mem_mask])
 
             def distill(t):
-                q = jax.nn.sigmoid(forward_eval(
+                # prev_model deepcopied in train mode (reference icarl.py:31)
+                # -> batch-stat BN over the valid rows of the combined batch
+                q = jax.nn.sigmoid(forward_teacher(
                     self.module, state.agent["teacher_params"],
-                    state.agent["teacher_stats"], x_all))
+                    state.agent["teacher_stats"], x_all, w=row_mask))
                 return jnp.where(old_cols[None, :], q, t)
 
             targets = jax.lax.cond(has_prev, distill, lambda t: t, targets)

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import optax
 
 from ocl_tpu.agents.base import ContinualLearner
-from ocl_tpu.models import forward_eval, forward_train
+from ocl_tpu.models import forward_teacher, forward_train
 from ocl_tpu.ops.losses import kd_loss
 
 
@@ -25,8 +25,11 @@ class Lwf(ContinualLearner):
         def loss_fn(p, stats, xb, yb, ctx, agent_state):
             logits, new_stats = forward_train(self.module, p, stats, xb)
             loss_new = self.criterion(logits, yb, ctx)
-            teacher_logits = forward_eval(self.module, agent_state["teacher_params"],
-                                          agent_state["teacher_stats"], xb)
+            # train-mode teacher (batch-stat BN): the reference's deepcopied
+            # teacher is never switched to eval (kd_manager.py:22-25)
+            teacher_logits = forward_teacher(
+                self.module, agent_state["teacher_params"],
+                agent_state["teacher_stats"], xb)
             loss_old = kd_loss(logits, teacher_logits) * agent_state["has_teacher"]
             t = ctx.task_seen.astype(jnp.float32) + 1.0
             loss = (1.0 / t) * loss_new + (1.0 - 1.0 / t) * loss_old

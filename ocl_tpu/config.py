@@ -145,15 +145,28 @@ def build_parser() -> argparse.ArgumentParser:
                         help="CN-DPM expert-slot capacity (static shapes on TPU)")
     parser.add_argument("--parallel_runs", dest="parallel_runs", default=False,
                         type=boolean_string,
-                        help="vmap all num_runs runs into one on-device program")
+                        help="train all num_runs runs as one program, one run "
+                             "per device on a multi-chip mesh (falls back to "
+                             "sequential runs on a single device)")
     parser.add_argument("--ckpt_dir", dest="ckpt_dir", default=None,
                         help="checkpoint the full train state after every task "
                              "and resume from it on restart")
-    parser.add_argument("--fused_replay", dest="fused_replay", default=False,
+    parser.add_argument("--fused_replay", dest="fused_replay", default=True,
                         type=boolean_string,
-                        help="ER: one fused forward/backward over batch+memory "
-                             "(~1.5x step speed; BN folds one combined statistic "
-                             "instead of the reference's two sequential folds)")
+                        help="ER with random/match retrieval: one fused "
+                             "forward/backward over batch+memory (default; "
+                             "~1.25x step speed at 95%% of the bare fwd/bwd "
+                             "floor). BN folds one combined statistic instead "
+                             "of the reference's two sequential folds — "
+                             "accuracy-parity-verified (PARITY_RESULTS.md "
+                             "ER_FUSED row); pass False for the reference's "
+                             "exact two-pass schedule")
+    parser.add_argument("--compute_dtype", dest="compute_dtype", default="fp32",
+                        choices=["fp32", "bf16"],
+                        help="forward/backward compute precision: bf16 runs "
+                             "convs/matmuls MXU-native (~1.2x step speed; BN "
+                             "statistics, losses, and optimizer state stay "
+                             "f32). fp32 is exact reference parity.")
     parser.add_argument("--core50_cache", dest="core50_cache", default=True,
                         type=boolean_string,
                         help="md5-keyed decoded-image bin cache for CORe50 "

@@ -39,6 +39,18 @@ def multiple_run_parallel(params, store=False, save_path=None):
         from ocl_tpu.experiment.run import multiple_run
 
         return multiple_run(params, store=store, save_path=save_path)
+    if len(jax.devices()) == 1 and params.num_runs > 1:
+        # On one chip, vmapping R sets of conv weights lowers to grouped
+        # convolutions that the TPU tiles poorly — measured ~2x SLOWER in
+        # aggregate than running sequentially (BASELINE.md). The vmapped
+        # path pays off only when the run axis shards one-per-device.
+        print("[parallel_runs] single device: vmapped runs would lower to "
+              "grouped convs and lose ~2x aggregate throughput — falling "
+              "back to sequential multiple_run. Use a multi-chip mesh "
+              "(devices >= num_runs) for one-run-per-device scaling.")
+        from ocl_tpu.experiment.run import multiple_run
+
+        return multiple_run(params, store=store, save_path=save_path)
 
     start = time.time()
     n_runs = params.num_runs

@@ -51,18 +51,22 @@ class BatchNorm(nn.Module):
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(features, jnp.float32))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(features, jnp.float32))
 
+        # statistics always reduce in f32 (a no-op for f32 inputs; under the
+        # bf16 compute policy only the convs run low-precision — means and
+        # variances of bf16 activations would otherwise lose BN fidelity)
+        xf = x.astype(jnp.float32)
         if train:
             reduce_axes = tuple(range(x.ndim - 1))
             if w is None:
                 n = jnp.asarray(x.size // features, jnp.float32)
-                mean = jnp.mean(x, axis=reduce_axes)
-                var = jnp.mean(jnp.square(x - mean), axis=reduce_axes)  # biased
+                mean = jnp.mean(xf, axis=reduce_axes)
+                var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)  # biased
             else:
                 spatial = x.size // features // x.shape[0]
                 wf = w.astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
                 n = jnp.maximum(jnp.sum(wf) * spatial, 1.0)
-                mean = jnp.sum(x * wf, axis=reduce_axes) / n
-                var = jnp.sum(jnp.square(x - mean) * wf, axis=reduce_axes) / n
+                mean = jnp.sum(xf * wf, axis=reduce_axes) / n
+                var = jnp.sum(jnp.square(xf - mean) * wf, axis=reduce_axes) / n
             if not self.is_initializing():
                 unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
                 m = self.momentum
@@ -71,8 +75,9 @@ class BatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        inv = jax.lax.rsqrt(var + self.eps) * scale
-        return (x - mean) * inv + bias
+        inv = jax.lax.rsqrt(var + self.eps) * scale.astype(jnp.float32)
+        out = (xf - mean) * inv + bias.astype(jnp.float32)
+        return out.astype(x.dtype)
 
 
 class Conv3x3(nn.Module):

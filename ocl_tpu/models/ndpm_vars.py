@@ -13,4 +13,5 @@ SLEEP_STEP_G = 4000
 SLEEP_STEP_D = 1000
 WEIGHT_DECAY = 0.00001
 LR_GAMMA = 0.2          # MultiStepLR(milestones=[1], gamma=0.2): wake updates
+LR_MILESTONES = (1,)    # scheduler epochs at which gamma applies
 CLIP_VALUE = 0.5        # clip-grad-by-value

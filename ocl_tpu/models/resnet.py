@@ -67,6 +67,10 @@ class ResNet(nn.Module):
     block: str = "basic"
     bias: bool = True
     pool_window: int = 4
+    # compute policy consumed by models.forward_* at the apply boundary:
+    # "bf16" casts params+inputs to bfloat16 for the fwd/bwd (MXU-native;
+    # BN statistics stay f32, see layers.BatchNorm), "fp32" is exact.
+    compute_dtype: str = "fp32"
 
     def setup(self):
         block_cls = _BLOCKS[self.block]
@@ -94,8 +98,9 @@ class ResNet(nn.Module):
         return self.logits(self.features(x, train, w))
 
 
-def Reduced_ResNet18(nclasses, nf=20, bias=True):
-    return ResNet([2, 2, 2, 2], nclasses, nf, "basic", bias)
+def Reduced_ResNet18(nclasses, nf=20, bias=True, compute_dtype="fp32"):
+    return ResNet([2, 2, 2, 2], nclasses, nf, "basic", bias,
+                  compute_dtype=compute_dtype)
 
 
 def ResNet18(nclasses, nf=64, bias=True):
@@ -125,9 +130,11 @@ class SupConResNet(nn.Module):
     head: str = "mlp"
     feat_dim: int = 128
     nf: int = 20
+    compute_dtype: str = "fp32"
 
     def setup(self):
-        self.encoder = Reduced_ResNet18(100, nf=self.nf)
+        self.encoder = Reduced_ResNet18(100, nf=self.nf,
+                                        compute_dtype=self.compute_dtype)
         if self.head == "linear":
             self.head_layers = [TorchLinear(self.feat_dim)]
         elif self.head == "mlp":

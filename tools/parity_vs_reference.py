@@ -39,7 +39,7 @@ AGENT_CONFIGS = {
                fused_replay=False),
     "MIR": dict(agent="ER", update="random", retrieve="MIR", subsample=50),
     "GSS": dict(agent="ER", update="GSS", retrieve="random",
-                gss_mem_strength=10, gss_batch_size=10),
+                gss_mem_strength=10, gss_batch_size=10, fused_replay=False),
     "ASER": dict(agent="ER", update="ASER", retrieve="ASER",
                  aser_type="asvm", k=3, n_smp_cls=2.0),
     "EWC": dict(agent="EWC", lambda_=100.0, alpha=0.9, fisher_update_after=50),
@@ -48,7 +48,12 @@ AGENT_CONFIGS = {
     "ICARL": dict(agent="ICARL", update="random", retrieve="random"),
     "GDUMB": dict(agent="GDUMB", mem_epoch=10, minlr=0.0005, clip=10.0),
     "SCR": dict(agent="SCR", update="random", retrieve="random",
-                head="mlp", temp=0.07, eps_mem_batch=50),
+                head="mlp", temp=0.07, eps_mem_batch=50, fused_replay=False),
+    # ocl-only variant: the (default) fused two-view forward vs the
+    # reference's two sequential passes — validates the SCR fusion.
+    "SCR_FUSED": dict(agent="SCR", update="random", retrieve="random",
+                      head="mlp", temp=0.07, eps_mem_batch=50,
+                      fused_replay=True),
     # ocl-only variant vs the plain reference ER: validates that the fused
     # forward/backward (one combined BN statistic fold) stays within the
     # accuracy budget before it is made the default path.

@@ -1,0 +1,185 @@
+"""Component-level timing of the ER hot step on the local device.
+
+Times (best-of-5, forced host sync) the bare fwd/bwd bound, the default
+two-pass step, the fused one-pass step, and the retrieval/update primitives
+in isolation, so BENCH numbers can be attributed (VERDICT round-1 weak #1:
+"replay machinery still costs 2.3x").
+
+Usage: python tools/profile_er.py [--steps 200] [--nf 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed(fn, sync, reps=5):
+    fn()  # compile
+    sync()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        sync()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--nf", type=int, default=20)
+    args = ap.parse_args()
+
+    from ocl_tpu.config import apply_platform_env, default_params
+
+    apply_platform_env()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ocl_tpu.models import forward_train
+    from ocl_tpu.registry import agents
+
+    n_steps, bs = args.steps, 10
+
+    g = np.random.RandomState(0)
+    xs = jnp.asarray(g.rand(n_steps, bs, 32, 32, 3), jnp.float32)
+    ys = jnp.asarray(g.randint(0, 10, (n_steps, bs)), jnp.int32)
+
+    results = {}
+
+    def bench_variant(tag, fused):
+        p = default_params(data="synthetic", agent="ER", mem_size=1000,
+                           batch=bs, eps_mem_batch=10, verbose=False,
+                           nf=args.nf, fused_replay=fused)
+        agent = agents["ER"](p)
+        state = agent.init_state(jax.random.PRNGKey(0))
+        ctx = agent.before_train(list(range(10)))
+        fn = agent._build_train_task()
+        holder = {"state": state}
+
+        def run():
+            holder["state"], holder["m"] = fn(holder["state"], ctx, xs, ys)
+
+        dt = timed(run, lambda: np.asarray(holder["m"]["loss"]))
+        results[tag] = dt / n_steps
+        lowered = None
+        try:
+            lowered = fn.lower(holder["state"], ctx, xs, ys).compile()
+            ca = lowered.cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            results[tag + "_flops_per_step"] = float(ca.get("flops", 0.0)) / n_steps
+        except Exception as e:  # cost analysis is best-effort
+            results[tag + "_flops_per_step"] = None
+        return agent, holder["state"], ctx
+
+    agent, state, ctx = bench_variant("step_default", fused=False)
+    bench_variant("step_fused", fused=True)
+
+    # bare fwd/bwd on the combined [batch; mem_batch] shape = the floor
+    module, tx = agent.module, agent.tx
+    import optax
+
+    def loss_fn(params, stats, xb, yb):
+        logits, new_stats = forward_train(module, params, stats, xb)
+        loss = jnp.mean(
+            optax.softmax_cross_entropy_with_integer_labels(logits, yb))
+        return loss, new_stats
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def bare_scan(state, xs2, ys2):
+        params, stats, opt_state = state.params, state.batch_stats, state.opt_state
+
+        def body(carry, inp):
+            params, stats, opt_state = carry
+            (loss, stats), grads = grad_fn(params, stats, inp[0], inp[1])
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, stats, opt_state), loss
+
+        (_, _, _), losses = jax.lax.scan(body, (params, stats, opt_state),
+                                         (xs2, ys2))
+        return losses
+
+    xs2 = jnp.concatenate([xs, xs], axis=1)  # [n, 20, ...]
+    ys2 = jnp.concatenate([ys, ys], axis=1)
+    bare = jax.jit(bare_scan)
+    holder = {}
+
+    def run_bare():
+        holder["l"] = bare(state, xs2, ys2)
+
+    results["bare_fwdbwd_bs20"] = timed(
+        run_bare, lambda: np.asarray(holder["l"])) / n_steps
+
+    # retrieval + update primitives in isolation (scanned to amortize dispatch)
+    from ocl_tpu.buffer.reservoir import reservoir_update
+    from ocl_tpu.buffer.retrieve import random_retrieve
+
+    buf = state.buffer
+
+    def retr_scan(buf, xs, ys, rng):
+        def body(carry, inp):
+            r, acc = carry
+            r, k = jax.random.split(r)
+            x, y, idx, mask = random_retrieve(buf, 10, k)
+            return (r, acc + jnp.sum(x) + jnp.sum(y)), None
+
+        (_, acc), _ = jax.lax.scan(body, (rng, jnp.zeros(())), (xs, ys))
+        return acc
+
+    retr = jax.jit(retr_scan)
+
+    def run_retr():
+        holder["r"] = retr(buf, xs, ys, jax.random.PRNGKey(1))
+
+    results["retrieve_only"] = timed(
+        run_retr, lambda: np.asarray(holder["r"])) / n_steps
+
+    def upd_scan(buf, xs, ys, rng):
+        def body(carry, inp):
+            b, r = carry
+            r, k = jax.random.split(r)
+            b, _ = reservoir_update(b, inp[0], inp[1], k)
+            return (b, r), None
+
+        (b, _), _ = jax.lax.scan(body, (buf, rng), (xs, ys))
+        return b.n_seen_so_far
+
+    upd = jax.jit(upd_scan, donate_argnums=0)
+
+    def run_upd():
+        holder["u"] = upd(buf, xs, ys, jax.random.PRNGKey(2))
+        buf2 = holder["u"]
+
+    results["update_only"] = None
+    # donation makes repeat calls invalid; time once after compile
+    upd(state.buffer, xs, ys, jax.random.PRNGKey(2))
+    b2 = agent.init_state(jax.random.PRNGKey(3)).buffer
+    np.asarray(upd(b2, xs, ys, jax.random.PRNGKey(2)))
+    b3 = agent.init_state(jax.random.PRNGKey(4)).buffer
+    t0 = time.time()
+    np.asarray(upd(b3, xs, ys, jax.random.PRNGKey(2)))
+    results["update_only"] = (time.time() - t0) / n_steps
+
+    print("per-step times (ms) @ bs=%d, nf=%d, %d scanned steps" %
+          (bs, args.nf, n_steps))
+    for k, v in results.items():
+        if v is None:
+            print("  %-28s n/a" % k)
+        elif "flops" in k:
+            print("  %-28s %.3f GFLOP" % (k, v / 1e9))
+        else:
+            print("  %-28s %.3f ms  (%.0f img/s)" % (k, v * 1e3, bs / v))
+
+
+if __name__ == "__main__":
+    main()
