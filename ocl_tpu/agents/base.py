@@ -63,7 +63,9 @@ class ContinualLearner:
         self.data = params.data
         self.n_classes = n_classes_match[params.data]
         self.module = setup_architecture(params)
-        self.tx = setup_opt(params.optimizer, params.learning_rate, params.weight_decay)
+        self.tx = setup_opt(params.optimizer, params.learning_rate,
+                            params.weight_decay,
+                            inject=bool(getattr(params, "inject_hp", False)))
         self.trick = params.trick
         self.needs_kd = bool(self.trick.get("kd_trick") or self.trick.get("kd_trick_star")
                              or params.agent == "LWF")
@@ -132,9 +134,11 @@ class ContinualLearner:
             from ocl_tpu.utils.meters import tree_copy
 
             ag = dict(state.agent) if isinstance(state.agent, dict) else {}
+            # ones_like keeps the flag's shape under stacked/vmapped states
+            # (experiment/parallel_tune.py runs after_train on a [P, ...] state)
             ag.update(teacher_params=tree_copy(state.params),
                       teacher_stats=tree_copy(state.batch_stats),
-                      has_teacher=jnp.ones((), jnp.float32))
+                      has_teacher=jnp.ones_like(ag["has_teacher"]))
             state = state.replace(agent=ag)
         return state
 

@@ -128,7 +128,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cumulative_delta", dest="cumulative_delta", default=False, type=boolean_string)
     # SupContrast
     parser.add_argument("--temp", type=float, default=0.07)
-    parser.add_argument("--buffer_tracker", type=boolean_string, default=False)
+    parser.add_argument("--buffer_tracker", type=boolean_string, default=False,
+                        help="print + consistency-check the buffer's per-class "
+                             "counts after every task (the reference's "
+                             "BufferClassTracker.check_tracker; the class-index "
+                             "cache itself is always-on here as the "
+                             "class_counts device array)")
     parser.add_argument("--warmup", type=int, default=4)
     parser.add_argument("--head", type=str, default="mlp")
     # TPU-specific extensions (not in the reference)

@@ -1,0 +1,133 @@
+"""Grid-parallel hyperparameter tuning: every (grid point, val run) trains at
+once (SURVEY.md §7.7 "one-grid-point-per-device").
+
+The reference evaluates its lr/weight_decay grids sequentially — 28 full
+training runs for ER's 7x4 grid (reference experiment/run.py:238-305 +
+tune_hyperparam.py). Here, grids whose varying keys are pure optimizer
+scalars (learning_rate / weight_decay) share ONE jitted program: the agent is
+built with `optax.inject_hyperparams` so lr/wd live in `opt_state.hyperparams`
+as array leaves, states for all G*R points are stacked, and the scanned task
+fn is vmapped over the stacked axis — each point carries its own hyperparams
+in its own optimizer state. On a multi-chip mesh the point axis is sharded
+one-per-device; on a single device the caller should fall back to the
+sequential loop (vmapped conv weights lower poorly there, see
+experiment/parallel_run.py).
+
+All points consume identical tune batches (in_axes=None), which also makes
+the comparison between grid points paired rather than independently shuffled.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ocl_tpu.experiment.metrics import compute_performance
+from ocl_tpu.experiment.parallel_run import _stack
+from ocl_tpu.registry import agents
+
+INJECTABLE = {"learning_rate", "weight_decay"}
+# agents whose after_train is safe on a stacked state (no cross-point
+# reductions): ER/AGEM have no device-side after_train work, LWF's teacher
+# snapshot is leaf-wise. EWC's fisher normalization reduces over the whole
+# tree — excluded until vmapped.
+GRID_CAPABLE = ("ER", "AGEM", "LWF")
+
+
+def supports_parallel_grid(default_params, tune_params) -> bool:
+    varying = {k for k, v in tune_params.items()
+               if isinstance(v, (list, tuple)) and len(v) > 1}
+    if not varying or not varying <= INJECTABLE:
+        return False
+    if default_params.agent not in GRID_CAPABLE:
+        return False
+    # MIR's virtual step uses the *configured* lr (buffer/mir.py), which is
+    # baked per-agent — a traced per-point lr can't reach it; fall back.
+    if getattr(default_params, "retrieve", None) == "MIR" \
+            and "learning_rate" in varying:
+        return False
+    if default_params.trick.get("ncm_trick") or \
+            default_params.trick.get("review_trick") or \
+            getattr(default_params, "error_analysis", False):
+        return False
+    return len(jax.devices()) > 1
+
+
+def tune_hyper_parallel(tune_data, tune_test_loaders, default_params,
+                        tune_params, grid, merged):
+    """Returns the winning grid dict (same contract as tune_hyper)."""
+    from ocl_tpu.agents.base import TaskCtx
+
+    R = int(default_params.num_runs_val)
+    G = len(grid)
+    points = [(g, r) for g in range(G) for r in range(R)]
+    print("{} grid points x {} val runs = {} vmapped tuning states".format(
+        G, R, len(points)))
+
+    # one agent per grid point (hyperparams live in its injected opt_state);
+    # agent 0's step fn serves all points
+    built = []
+    for g, r in points:
+        p = merged(default_params, dict(grid[g], inject_hp=True))
+        agent = agents[p.agent](p)
+        state = agent.init_state(jax.random.PRNGKey(p.seed + 1000 + r))
+        built.append((agent, state))
+    agent0 = built[0][0]
+    state = _stack([s for _, s in built])
+
+    n_dev = len(jax.devices())
+    if len(points) % n_dev == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ocl_tpu.parallel.mesh import get_mesh
+
+        mesh = get_mesh(n_dev)
+        sharding = NamedSharding(mesh, P("data"))
+        state = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, sharding), state)
+        print("tuning points sharded over {} devices".format(n_dev))
+
+    task_fn = jax.jit(jax.vmap(agent0._build_train_task_fn(),
+                               in_axes=(0, None, None, None)),
+                      donate_argnums=0)
+
+    @jax.jit
+    def eval_fn(state, x, y, m):
+        def one(params, stats, x, y, m):
+            def body(c, inp):
+                xb, yb, mb = inp
+                logits = agent0.forward_eval_logits(params, stats, xb)
+                return c + jnp.sum((jnp.argmax(logits, 1) == yb) & mb), None
+
+            c, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), (x, y, m))
+            return c
+
+        return jax.vmap(one, in_axes=(0, 0, None, None, None))(
+            state.params, state.batch_stats, x, y, m)
+
+    n_cls = agent0.n_classes
+    old = np.zeros(n_cls, bool)
+    acc = np.zeros((len(points), len(tune_data), len(tune_test_loaders)))
+    shuffle_state = built[0][1]  # rng-threading host state for batchify
+    for t, (x_train, y_train, _labels) in enumerate(tune_data):
+        new = np.zeros(n_cls, bool)
+        new[sorted(set(int(v) for v in np.asarray(y_train).reshape(-1)))] = True
+        ctx = TaskCtx(old_mask=jnp.asarray(old), new_mask=jnp.asarray(new),
+                      task_seen=jnp.asarray(t, jnp.int32))
+        # shared shuffle for all points (paired comparison)
+        shuffle_state, xs, ys = agent0.batchify(shuffle_state, x_train, y_train)
+        state, _ = task_fn(state, ctx, xs, ys)
+        state = agent0.after_train(state, ctx)  # leaf-wise (LWF teacher snap)
+        old |= new
+        for tt, (x, y, m) in enumerate(tune_test_loaders):
+            correct = np.asarray(eval_fn(state, x, y, m))
+            acc[:, t, tt] = correct / max(int(np.sum(np.asarray(m))), 1)
+
+    acc = acc.reshape(G, R, len(tune_data), len(tune_test_loaders))
+    tune_accs = []
+    for g in range(G):
+        (end_acc, _ci), *_ = compute_performance(acc[g])
+        tune_accs.append(end_acc)
+        print("{} -> avg_end_acc {:.4f}".format(grid[g], end_acc))
+    return grid[int(np.argmax(tune_accs))]

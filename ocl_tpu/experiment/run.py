@@ -27,6 +27,27 @@ def _new_agent_and_state(params, run_seed):
     return agent, state
 
 
+def _check_buffer_tracker(state):
+    """--buffer_tracker consistency check (reference BufferClassTracker
+    .check_tracker, buffer_utils.py:203-205). The reference's class-index
+    cache is a host dict that can drift from the buffer; here the device
+    class_counts array is recomputed from the labels and compared."""
+    buf = getattr(state, "buffer", None)
+    if buf is None or not hasattr(buf, "class_counts"):
+        return
+    from ocl_tpu.buffer.state import valid_mask
+
+    counts = np.asarray(buf.class_counts)
+    labels = np.asarray(buf.labels)
+    valid = np.asarray(valid_mask(buf))
+    recomputed = np.bincount(labels[valid], minlength=counts.shape[0])
+    print("[buffer_tracker] total {} per-class {}".format(
+        int(counts.sum()), counts.astype(int).tolist()))
+    if not np.array_equal(counts.astype(int), recomputed.astype(int)):
+        print("[buffer_tracker] MISMATCH recomputed {}".format(
+            recomputed.tolist()))
+
+
 def multiple_run(params, store=False, save_path=None):
     from ocl_tpu.config import maybe_enable_debug_nans
 
@@ -89,6 +110,8 @@ def multiple_run(params, store=False, save_path=None):
                 with tput.measure(n_imgs):
                     state = agent.train_learner(state, x_train, y_train)
                     jax.block_until_ready(jax.tree_util.tree_leaves(state.params)[0])
+                if getattr(params, "buffer_tracker", False):
+                    _check_buffer_tracker(state)
                 acc_array = agent.evaluate(state, test_loaders)
                 tmp_acc.append(acc_array)
                 if ckpt_dir:

@@ -47,6 +47,18 @@ def _merged(default_params, overrides):
 def tune_hyper(tune_data, tune_test_loaders, default_params, tune_params):
     grid = parameter_grid(tune_params)
     print(len(grid))
+    if getattr(default_params, "parallel_runs", False):
+        from ocl_tpu.experiment.parallel_tune import (
+            supports_parallel_grid,
+            tune_hyper_parallel,
+        )
+
+        if supports_parallel_grid(default_params, tune_params):
+            return tune_hyper_parallel(tune_data, tune_test_loaders,
+                                       default_params, tune_params, grid,
+                                       _merged)
+        print("[parallel_runs] grid not vmappable (non-scalar hyperparams, "
+              "agent, or single device) — sequential tuning")
     tune_accs = []
     for param_set in grid:
         print(param_set)

@@ -137,3 +137,26 @@ def test_match_labels_insufficient_class_fails():
     _, ok = match_labels(buf, 10, jnp.asarray([0, 0, 0], jnp.int32),
                          jax.random.PRNGKey(1))
     assert not bool(ok)
+
+
+def test_buffer_tracker_check(capsys):
+    """--buffer_tracker consistency check (reference BufferClassTracker
+    .check_tracker): class_counts equals a recomputed label histogram."""
+    from types import SimpleNamespace
+
+    from ocl_tpu.experiment.run import _check_buffer_tracker
+
+    buf = _mini_buffer()
+    x, y = _batch(10)
+    buf, _ = reservoir_update(buf, x, y, jax.random.PRNGKey(0))
+    state = SimpleNamespace(buffer=buf)
+    _check_buffer_tracker(state)
+    out = capsys.readouterr().out
+    assert "[buffer_tracker] total 10" in out
+    assert "MISMATCH" not in out
+
+    # corrupt the counts -> the check reports the drift
+    state.buffer = buf.replace(class_counts=buf.class_counts.at[0].add(1))
+    _check_buffer_tracker(state)
+    out = capsys.readouterr().out
+    assert "MISMATCH" in out

@@ -1,0 +1,80 @@
+"""Grid-parallel tuning (experiment/parallel_tune.py) on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ocl_tpu.config import default_params
+from ocl_tpu.optim import setup_opt
+
+
+def test_injected_hyperparams_vary_per_vmapped_point():
+    """Stacked opt_states carry different lrs through one vmapped update."""
+    tx = setup_opt("SGD", 0.1, 0.0, inject=True)
+    params = {"w": jnp.ones((3,))}
+    grads = {"w": jnp.ones((3,))}
+
+    def one_step(lr):
+        opt = tx.init(params)
+        opt.hyperparams["learning_rate"] = lr
+        updates, _ = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates)
+
+    out = jax.vmap(one_step)(jnp.asarray([0.1, 0.5]))
+    np.testing.assert_allclose(np.asarray(out["w"][0]), 1 - 0.1, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["w"][1]), 1 - 0.5, rtol=1e-6)
+
+
+def test_injected_chain_matches_static():
+    """inject=True SGD+wd == static chain numerically."""
+    params = {"w": jnp.full((4,), 2.0)}
+    grads = {"w": jnp.full((4,), 0.5)}
+    for opt_name in ("SGD", "Adam"):
+        tx_s = setup_opt(opt_name, 0.03, 0.01)
+        tx_i = setup_opt(opt_name, 0.03, 0.01, inject=True)
+        u_s, _ = tx_s.update(grads, tx_s.init(params), params)
+        u_i, _ = tx_i.update(grads, tx_i.init(params), params)
+        np.testing.assert_allclose(np.asarray(u_i["w"]), np.asarray(u_s["w"]),
+                                   rtol=1e-6)
+
+
+def _tiny_stream(n_tasks=2, per_task=40, n_cls=10, seed=0):
+    g = np.random.RandomState(seed)
+    tasks = []
+    for t in range(n_tasks):
+        x = g.rand(per_task, 32, 32, 3).astype(np.float32)
+        y = g.randint(t * 2, t * 2 + 2, per_task)
+        tasks.append((x, y, None))
+    return tasks
+
+
+def test_tune_hyper_parallel_selects_grid_point():
+    from ocl_tpu.data import prepare_test_loaders
+    from ocl_tpu.experiment.tune import _merged, parameter_grid, tune_hyper
+
+    p = default_params(data="synthetic", agent="ER", mem_size=100, batch=10,
+                       eps_mem_batch=10, nf=4, verbose=False, num_runs_val=1,
+                       parallel_runs=True, test_batch=20)
+    tune_params = {"learning_rate": [0.01, 0.1]}
+    tasks = _tiny_stream()
+    g = np.random.RandomState(1)
+    tests = [(g.rand(20, 32, 32, 3).astype(np.float32),
+              g.randint(0, 4, 20)) for _ in range(2)]
+    loaders = prepare_test_loaders(tests, p)
+
+    assert len(jax.devices()) >= 2  # conftest forces the 8-device CPU mesh
+    best = tune_hyper(tasks, loaders, p, tune_params)
+    assert best in parameter_grid(tune_params)
+
+
+def test_supports_parallel_grid_gating():
+    from ocl_tpu.experiment.parallel_tune import supports_parallel_grid
+
+    p = default_params(data="synthetic", agent="ER", retrieve="MIR")
+    # MIR + lr grid: virtual step lr is baked per-agent -> must fall back
+    assert not supports_parallel_grid(p, {"learning_rate": [0.01, 0.1]})
+    p2 = default_params(data="synthetic", agent="ER")
+    assert not supports_parallel_grid(p2, {"subsample": [10, 50]})
+    assert supports_parallel_grid(
+        p2, {"learning_rate": [0.01, 0.1], "weight_decay": [0.0, 0.01]})
