@@ -217,6 +217,9 @@ def main():
             er["flops_per_step"] / (er["step_ms"] / 1e3) / peak * 100, 2)
         er["device_kind"] = kind
 
+    emit(bench_stream_agent("er_bf16_stream_throughput", 500, agent="ER",
+                            mem_size=1000, batch=10, eps_mem_batch=10,
+                            compute_dtype="bf16"))
     emit(bench_stream_agent("er_mir_stream_throughput", 300, agent="ER",
                             retrieve="MIR", subsample=50, mem_size=1000,
                             batch=10, eps_mem_batch=10))

@@ -136,3 +136,29 @@ def test_sgd_step_matches(models):
         np.asarray(new_params["conv1"]["Conv_0"]["kernel"]),
         np.transpose(tnet.conv1.weight.detach().numpy(), (2, 3, 1, 0)),
         rtol=1e-3, atol=1e-4)
+
+
+def test_teacher_forward_matches_train_mode_torch(models):
+    """forward_teacher == a torch teacher deepcopied in TRAIN mode
+    (reference kd_manager.py:22-25: the teacher normalizes by the current
+    batch's BN statistics, not running stats). Runs last: re-syncs pytrees
+    from the torch net's current (mutated) state first."""
+    import copy
+
+    from ocl_tpu.models import forward_teacher
+
+    tnet, module, params, stats, x, y = models
+    params, stats = _copy_weights(tnet, params, stats)
+
+    teacher = copy.deepcopy(tnet)
+    teacher.train()  # the reference never switches its teacher to eval
+    with torch.no_grad():
+        want = teacher(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(forward_teacher(module, params, stats, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    # output must NOT equal the eval-mode (running-stats) forward
+    teacher.eval()
+    with torch.no_grad():
+        eval_out = teacher(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    assert np.abs(want - eval_out).max() > 1e-3

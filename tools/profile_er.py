@@ -69,14 +69,12 @@ def main():
 
         dt = timed(run, lambda: np.asarray(holder["m"]["loss"]))
         results[tag] = dt / n_steps
-        lowered = None
         try:
-            lowered = fn.lower(holder["state"], ctx, xs, ys).compile()
-            ca = lowered.cost_analysis()
-            if isinstance(ca, list):
-                ca = ca[0]
-            results[tag + "_flops_per_step"] = float(ca.get("flops", 0.0)) / n_steps
-        except Exception as e:  # cost analysis is best-effort
+            from ocl_tpu.utils.flops import estimate_fn_flops
+
+            results[tag + "_flops_per_step"] = \
+                estimate_fn_flops(fn, holder["state"], ctx, xs, ys) / n_steps
+        except Exception:
             results[tag + "_flops_per_step"] = None
         return agent, holder["state"], ctx
 
