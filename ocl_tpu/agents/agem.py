@@ -54,8 +54,8 @@ class AGEM(ContinualLearner):
                     params, stats, xb, yb, ctx, state.agent, None)
                 acc_b = jnp.mean((jnp.argmax(logits, 1) == yb).astype(jnp.float32))
 
-                mem_x, mem_y, mem_mask = retrieve_fn(params, stats, buf, xb, yb,
-                                                     grads, r_ret)
+                mem_x, mem_y, mem_mask, stats = retrieve_fn(
+                    params, stats, buf, xb, yb, grads, r_ret)
                 use_mem = (ctx.task_seen > 0) & jnp.any(mem_mask)
 
                 def project(operand):

@@ -77,8 +77,8 @@ class ExperienceReplay(ContinualLearner):
             if fused:
                 for _ in range(mem_iters):
                     rng, r_ret = jax.random.split(rng)
-                    mem_x, mem_y, mem_mask = retrieve_fn(params, stats, buf,
-                                                         xb, yb, None, r_ret)
+                    mem_x, mem_y, mem_mask, stats = retrieve_fn(
+                        params, stats, buf, xb, yb, None, r_ret)
                     (_, (stats, logits_b, loss_b)), grads = fused_grad_fn(
                         params, stats, xb, yb, mem_x, mem_y, mem_mask, ctx,
                         state.agent)
@@ -98,8 +98,10 @@ class ExperienceReplay(ContinualLearner):
                     params, stats, xb, yb, ctx, state.agent, None)
                 acc_b = jnp.mean((jnp.argmax(logits_b, 1) == yb).astype(jnp.float32))
 
-                mem_x, mem_y, mem_mask = retrieve_fn(params, stats, buf, xb, yb,
-                                                     grads_b, r_ret)
+                # MIR's pre-scoring forward folds the subsample's BN stats
+                # into the live running stats (reference mir_retrieve.py:23)
+                mem_x, mem_y, mem_mask, stats = retrieve_fn(
+                    params, stats, buf, xb, yb, grads_b, r_ret)
                 has_mem = jnp.any(mem_mask)
 
                 def with_mem(operand):

@@ -67,8 +67,8 @@ class SupContrastReplay(ContinualLearner):
                 # agents/scr.py:49), so gradient-based strategies see zeros
                 grads_stub = (jax.tree_util.tree_map(jnp.zeros_like, params)
                               if self.params.retrieve == "MIR" else None)
-                mem_x, mem_y, mem_mask = retrieve_fn(params, stats, buf, xb, yb,
-                                                     grads_stub, r_ret)
+                mem_x, mem_y, mem_mask, stats = retrieve_fn(
+                    params, stats, buf, xb, yb, grads_stub, r_ret)
                 comb_x = jnp.concatenate([mem_x, xb])
                 comb_y = jnp.concatenate([mem_y, yb])
                 comb_mask = jnp.concatenate([mem_mask, jnp.ones(yb.shape, bool)])

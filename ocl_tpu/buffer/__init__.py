@@ -4,7 +4,11 @@ Mirrors the reference's update/retrieve registries
 (utils/name_match.py:42-55) as builders of pure functions:
 
   retrieve(params, batch_stats, buffer, batch_x, batch_y, batch_grads, rng)
-      -> (mem_x, mem_y, mem_mask)
+      -> (mem_x, mem_y, mem_mask, batch_stats)
+(retrieval returns batch_stats so strategies whose scoring forwards fold BN
+statistics into the live model — the reference MIR's train-mode no_grad
+forwards, mir_retrieve.py:23-27 — can reproduce that side effect; all other
+strategies pass stats through unchanged)
   update(params, batch_stats, buffer, batch_x, batch_y, rng)
       -> (buffer, replaced_slots)
 """
@@ -53,13 +57,13 @@ def build_retrieve(agent):
         def retrieve(params, stats, buf, x, y, grads, rng):
             shape = (1,) + buf.imgs.shape[1:]
             return (jnp.zeros(shape, jnp.float32), jnp.zeros((1,), jnp.int32),
-                    jnp.zeros((1,), bool))
+                    jnp.zeros((1,), bool), stats)
 
         return retrieve
     if name == "random":
         def retrieve(params, stats, buf, x, y, grads, rng):
             mx, my, _, mask = random_retrieve(buf, k, rng)
-            return mx, my, mask
+            return mx, my, mask, stats
 
         return retrieve
     if name == "MIR":

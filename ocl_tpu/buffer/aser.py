@@ -133,7 +133,7 @@ def build_aser_retrieve(agent):
             from ocl_tpu.buffer.retrieve import random_retrieve
 
             mx, my, _, mask = random_retrieve(buf, num_retrieve, r_rand)
-            return mx, my, mask
+            return mx, my, mask, stats
 
         def sv_path(_):
             cand_x, cand_y, cand_idx, cand_mask = class_balanced_sample(
@@ -167,7 +167,7 @@ def build_aser_retrieve(agent):
             _, top = jax.lax.top_k(sv, num_retrieve)
             n_valid = jnp.sum(cand_mask.astype(jnp.int32))
             mask = jnp.arange(num_retrieve) < jnp.minimum(num_retrieve, n_valid)
-            return cand_x[top], cand_y[top], mask
+            return cand_x[top], cand_y[top], mask, stats
 
         return jax.lax.cond(buf.n_seen_so_far <= mem_size, random_path, sv_path, None)
 

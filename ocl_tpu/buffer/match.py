@@ -55,7 +55,7 @@ def build_match_retrieve(agent):
         idx, ok = match_labels(buf, n_classes, y, rng)
         warm = buf.n_seen_so_far > num_retrieve * warmup
         mask = jnp.full(y.shape, ok & warm)
-        return buf.imgs[idx], buf.labels[idx], mask
+        return buf.imgs[idx], buf.labels[idx], mask, stats
 
     return retrieve
 
@@ -80,6 +80,6 @@ def build_mem_match_retrieve(agent):
         mask = cmask & ok & warm
         mem_x = jnp.concatenate([cx, buf.imgs[midx]])
         mem_y = jnp.concatenate([cy, buf.labels[midx]])
-        return mem_x, mem_y, jnp.concatenate([mask, mask])
+        return mem_x, mem_y, jnp.concatenate([mask, mask]), stats
 
     return retrieve

@@ -5,10 +5,11 @@ one virtual SGD step to score a random subsample by loss increase. Here the
 virtual step is a tree_map (no copy), and the two scoring forwards are batched
 eval passes — the natural JAX formulation.
 
-Deviation (documented): the reference's scoring forwards run with BN in train
-mode under no_grad, which *mutates* the live model's running statistics as a
-side effect; we score with batch statistics but do not fold the subsample into
-the running stats (metric-based acceptance, not bitwise).
+The reference's scoring forwards run with BN in train mode under no_grad,
+which *mutates* the live model's running statistics as a side effect
+(mir_retrieve.py:23-27: the pre forward is on the live model, the post
+forward on the discarded copy). Reproduced here: the pre-scoring
+forward_train's updated stats are returned and threaded back into the step.
 """
 
 from __future__ import annotations
@@ -31,7 +32,14 @@ def build_mir_retrieve(agent):
         sub_x, sub_y, _, sub_mask = random_retrieve(buf, subsample, rng)
         virtual = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
 
-        logits_pre, _ = forward_train(module, params, stats, sub_x)
+        # pre forward on the live model folds the subsample's batch stats
+        # into the running stats (only when the subsample is non-empty,
+        # matching the reference's sub_x.size(0) > 0 guard)
+        logits_pre, stats_after = forward_train(module, params, stats, sub_x,
+                                                w=sub_mask)
+        has_any = jnp.any(sub_mask)
+        stats_out = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(has_any, new, old), stats_after, stats)
         logits_post, _ = forward_train(module, virtual, stats, sub_x)
         nll = lambda lg: -jnp.take_along_axis(  # noqa: E731
             jax.nn.log_softmax(lg, axis=-1), sub_y[:, None], axis=1)[:, 0]
@@ -41,6 +49,6 @@ def build_mir_retrieve(agent):
         _, top_idx = jax.lax.top_k(scores, k)
         n_valid = jnp.sum(sub_mask.astype(jnp.int32))
         mem_mask = jnp.arange(k) < jnp.minimum(k, n_valid)
-        return sub_x[top_idx], sub_y[top_idx], mem_mask
+        return sub_x[top_idx], sub_y[top_idx], mem_mask, stats_out
 
     return retrieve

@@ -63,3 +63,39 @@ def test_aser_update_keeps_buffer_consistent():
     for c in range(10):
         assert counts[c] == (labels == c).sum()
     assert int(buf.n_seen_so_far) == 120
+
+
+def test_mir_retrieve_folds_bn_stats():
+    """MIR's pre-scoring forward mutates the live running stats (reference
+    mir_retrieve.py:23-27 runs train-mode no_grad forwards on the model);
+    the retrieve contract returns the folded stats."""
+    import jax.numpy as jnp
+
+    from ocl_tpu.buffer import build_retrieve
+    from ocl_tpu.buffer.reservoir import reservoir_update
+
+    p = default_params(data="synthetic", agent="ER", retrieve="MIR",
+                       mem_size=40, eps_mem_batch=5, subsample=10,
+                       verbose=False, nf=4)
+    agent = agents["ER"](p)
+    state = agent.init_state(jax.random.PRNGKey(0))
+    retrieve = build_retrieve(agent)
+    g = np.random.RandomState(0)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+    # empty buffer: stats pass through unchanged
+    _, _, mask0, st0 = retrieve(state.params, state.batch_stats, state.buffer,
+                                None, None, zeros, jax.random.PRNGKey(1))
+    assert not bool(np.any(np.asarray(mask0)))
+    np.testing.assert_array_equal(np.asarray(st0["bn1"]["mean"]),
+                                  np.asarray(state.batch_stats["bn1"]["mean"]))
+
+    # filled buffer: the pre forward folds subsample stats
+    x = jnp.asarray(g.rand(20, 32, 32, 3), jnp.float32)
+    y = jnp.asarray(g.randint(0, 4, 20), jnp.int32)
+    buf, _ = reservoir_update(state.buffer, x, y, jax.random.PRNGKey(2))
+    _, _, mask1, st1 = retrieve(state.params, state.batch_stats, buf,
+                                None, None, zeros, jax.random.PRNGKey(3))
+    assert bool(np.any(np.asarray(mask1)))
+    assert np.abs(np.asarray(st1["bn1"]["mean"]) -
+                  np.asarray(state.batch_stats["bn1"]["mean"])).max() > 0
