@@ -5,9 +5,8 @@ kornia RandomResizedCrop(scale=(0.2,1)) -> RandomHorizontalFlip ->
 ColorJitter(0.4,0.4,0.4,0.1, p=0.8) -> RandomGrayscale(p=0.2)).
 
 All ops are batched, fixed-shape, vmap-friendly: crops are bilinear gather
-sampling (no dynamic slice sizes). Deviation (documented): jitter sub-ops
-apply in fixed order brightness->contrast->saturation->hue rather than a
-random permutation — distributional parity, metric-based acceptance.
+sampling (no dynamic slice sizes). Jitter sub-ops apply in a random order
+sampled per batch (kornia semantics), via lax.switch over the four sub-ops.
 """
 
 from __future__ import annotations
@@ -102,25 +101,39 @@ def hsv_to_rgb(hsv):
 
 
 def color_jitter(rng, x, brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1, p=0.8):
+    """kornia ColorJitter: per-sample factors, sub-ops applied in a random
+    order sampled once per batch (kornia ColorJitter forward shuffles
+    [brightness, contrast, saturation, hue] per call)."""
     B = x.shape[0]
-    r_on, r_b, r_c, r_s, r_h = jax.random.split(rng, 5)
+    r_on, r_b, r_c, r_s, r_h, r_ord = jax.random.split(rng, 6)
     on = (jax.random.uniform(r_on, (B,)) < p)[:, None, None, None]
 
     bf = jax.random.uniform(r_b, (B, 1, 1, 1), minval=1 - brightness, maxval=1 + brightness)
-    out = jnp.clip(x * bf, 0.0, 1.0)
-
     cf = jax.random.uniform(r_c, (B, 1, 1, 1), minval=1 - contrast, maxval=1 + contrast)
-    mean_gray = jnp.mean(rgb_to_grayscale(out), axis=(1, 2, 3), keepdims=True)
-    out = jnp.clip(out * cf + mean_gray * (1 - cf), 0.0, 1.0)
-
     sf = jax.random.uniform(r_s, (B, 1, 1, 1), minval=1 - saturation, maxval=1 + saturation)
-    gray = rgb_to_grayscale(out)
-    out = jnp.clip(out * sf + gray * (1 - sf), 0.0, 1.0)
-
     hf = jax.random.uniform(r_h, (B, 1, 1), minval=-hue, maxval=hue)
-    hsv = rgb_to_hsv(out)
-    hsv = hsv.at[..., 0].set((hsv[..., 0] + hf) % 1.0)
-    out = jnp.clip(hsv_to_rgb(hsv), 0.0, 1.0)
+
+    def op_brightness(img):
+        return jnp.clip(img * bf, 0.0, 1.0)
+
+    def op_contrast(img):
+        mean_gray = jnp.mean(rgb_to_grayscale(img), axis=(1, 2, 3), keepdims=True)
+        return jnp.clip(img * cf + mean_gray * (1 - cf), 0.0, 1.0)
+
+    def op_saturation(img):
+        gray = rgb_to_grayscale(img)
+        return jnp.clip(img * sf + gray * (1 - sf), 0.0, 1.0)
+
+    def op_hue(img):
+        hsv = rgb_to_hsv(img)
+        hsv = hsv.at[..., 0].set((hsv[..., 0] + hf) % 1.0)
+        return jnp.clip(hsv_to_rgb(hsv), 0.0, 1.0)
+
+    ops = (op_brightness, op_contrast, op_saturation, op_hue)
+    order = jax.random.permutation(r_ord, 4)
+    out = x
+    for i in range(4):
+        out = jax.lax.switch(order[i], ops, out)
 
     return jnp.where(on, out, x)
 

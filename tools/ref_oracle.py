@@ -140,32 +140,44 @@ def _install_kornia_stub():
             super().__init__(p)
             self.b, self.c, self.s, self.h = brightness, contrast, saturation, hue
 
+        def _op_b(self, img):
+            return (img * float(torch.empty(1).uniform_(
+                max(0.0, 1 - self.b), 1 + self.b))).clamp(0, 1)
+
+        def _op_c(self, img):
+            f = float(torch.empty(1).uniform_(
+                max(0.0, 1 - self.c), 1 + self.c))
+            return (f * img + (1 - f) * _rgb_to_gray(img).mean(
+                dim=(-1, -2), keepdim=True)).clamp(0, 1)
+
+        def _op_s(self, img):
+            f = float(torch.empty(1).uniform_(
+                max(0.0, 1 - self.s), 1 + self.s))
+            return (f * img + (1 - f) * _rgb_to_gray(img).repeat(
+                1, 3, 1, 1)).clamp(0, 1)
+
+        def _op_h(self, img):
+            # cheap hue rotation: roll channels by a blend factor
+            f = float(torch.empty(1).uniform_(-self.h, self.h))
+            rolled = torch.roll(img, shifts=1, dims=1)
+            return ((1 - abs(f)) * img + abs(f) * rolled).clamp(0, 1)
+
         def forward(self, x):
             n = x.shape[0]
             sel = self._mask(n, x.device)
             out = x.clone()
+            # kornia shuffles the sub-op order once per call
+            ops = [op for flag, op in ((self.b, self._op_b), (self.c, self._op_c),
+                                       (self.s, self._op_s), (self.h, self._op_h))
+                   if flag]
+            order = torch.randperm(len(ops)).tolist()
             for i in range(n):
                 if not bool(sel[i]):
                     continue
                 img = x[i : i + 1]
-                if self.b:
-                    img = img * float(torch.empty(1).uniform_(
-                        max(0.0, 1 - self.b), 1 + self.b))
-                if self.c:
-                    f = float(torch.empty(1).uniform_(
-                        max(0.0, 1 - self.c), 1 + self.c))
-                    img = f * img + (1 - f) * _rgb_to_gray(img).mean(
-                        dim=(-1, -2), keepdim=True)
-                if self.s:
-                    f = float(torch.empty(1).uniform_(
-                        max(0.0, 1 - self.s), 1 + self.s))
-                    img = f * img + (1 - f) * _rgb_to_gray(img).repeat(1, 3, 1, 1)
-                if self.h:
-                    # cheap hue rotation: roll channels by a blend factor
-                    f = float(torch.empty(1).uniform_(-self.h, self.h))
-                    rolled = torch.roll(img, shifts=1, dims=1)
-                    img = (1 - abs(f)) * img + abs(f) * rolled
-                out[i] = img.clamp(0, 1)[0]
+                for j in order:
+                    img = ops[j](img)
+                out[i] = img[0]
             return out
 
     kornia = types.ModuleType("kornia")
