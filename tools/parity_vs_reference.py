@@ -59,6 +59,10 @@ AGENT_CONFIGS = {
     # accuracy budget before it is made the default path.
     "ER_FUSED": dict(agent="ER", update="random", retrieve="random",
                      fused_replay=True),
+    # ocl-only variant: --compute_dtype bf16 (MXU-native convs) vs the f32
+    # torch reference — pins the mixed-precision mode's accuracy budget.
+    "ER_BF16": dict(agent="ER", update="random", retrieve="random",
+                    compute_dtype="bf16"),
     # not in the default sweep (slow); run with --agents CNDPM. Sleep steps
     # are shrunk identically on both sides (see _patch_cndpm_constants).
     "CNDPM": dict(agent="CNDPM", stm_capacity=200, classifier_chill=0.01,
