@@ -215,6 +215,9 @@ def main():
                   f"ocl {time.time() - t_mid:.0f}s "
                   f"end_acc ref {ref_rows[-1][-1].mean():.3f} "
                   f"ocl {ocl_rows[-1][-1].mean():.3f}", flush=True)
+            # per-seed crash/timeout insurance: raw accuracy matrices
+            np.save(f"/tmp/parity_{name}_seed{seed}_ref.npy", ref_rows[-1])
+            np.save(f"/tmp/parity_{name}_seed{seed}_ocl.npy", ocl_rows[-1])
         ref_acc, ref_fgt = summarize(ref_rows)
         ocl_acc, ocl_fgt = summarize(ocl_rows)
         results[name] = dict(
@@ -256,6 +259,12 @@ def write_report(args, results):
         "SCR uses functional torch re-implementations of the kornia ops on",
         "the reference side (tools/ref_oracle.py) — augmentation parity is",
         "distributional, not exact.",
+        "CNDPM runs both frameworks with sleep budgets shrunk identically to",
+        f"{CNDPM_SLEEP_G}/{CNDPM_SLEEP_D} steps (from 4000/1000) and",
+        "stm_capacity 200 to fit the torch-CPU oracle budget.",
+        "ER_FUSED / SCR_FUSED / ER_BF16 are ocl-only modes compared against",
+        "the plain reference ER / SCR (they validate the fused and bf16",
+        "fast paths against the reference's exact schedule).",
         "",
     ]
     with open(args.out, "w") as f:
