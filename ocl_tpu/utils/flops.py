@@ -70,7 +70,7 @@ def count_jaxpr_flops(jaxpr) -> int:
         elif name == "cond":
             total += max(count_jaxpr_flops(b.jaxpr)
                          for b in eqn.params["branches"])
-        elif name in ("pjit", "custom_jvp_call", "custom_vjp_call",
+        elif name in ("jit", "pjit", "custom_jvp_call", "custom_vjp_call",
                       "custom_vjp_call_jaxpr", "closed_call", "core_call",
                       "remat", "checkpoint", "custom_jvp_call_jaxpr"):
             inner = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr") \

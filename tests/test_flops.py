@@ -75,3 +75,9 @@ def test_er_step_flops_magnitude():
     per_step = estimate_fn_flops(fn, state, ctx, xs, ys) / n
     assert per_step > 1e7, per_step
     assert per_step < 1e10, per_step
+
+
+def test_counts_through_jit():
+    w = jnp.zeros((16, 16))
+    x = jnp.zeros((4, 16))
+    assert estimate_fn_flops(jax.jit(lambda x, w: x @ w), x, w) == 2 * 4 * 16 * 16
