@@ -53,3 +53,33 @@ def test_agent_trains_and_evaluates(name, extra):
     assert np.all(accs >= 0) and np.all(accs <= 1)
     assert np.isfinite(
         np.asarray(jax.tree_util.tree_leaves(state.params)[0])).all()
+
+
+def test_scr_fused_views_match_sequential_loss():
+    """The fused two-view forward (one 2N-row pass) computes the same
+    objective as the sequential two-pass up to BN normalization coupling:
+    each view is normalized by the combined batch's statistics instead of
+    its own. The losses differ by that coupling only — same ballpark, both
+    finite (end-metric agreement is pinned by the SCR_FUSED parity row)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ocl_tpu.config import default_params
+    from ocl_tpu.registry import agents
+
+    losses = {}
+    for fused in (False, True):
+        p = default_params(data="synthetic", agent="SCR", mem_size=100,
+                           batch=10, eps_mem_batch=10, nf=4, verbose=False,
+                           fused_replay=fused)
+        agent = agents["SCR"](p)
+        state = agent.init_state(jax.random.PRNGKey(0))
+        loss, _ = agent._two_view_loss(
+            state.params, state.batch_stats,
+            jnp.ones((10, 32, 32, 3), jnp.float32) * 0.5,
+            jnp.arange(10) % 4, None, jax.random.PRNGKey(1))
+        losses[fused] = float(loss)
+    import numpy as np
+
+    assert np.isfinite(losses[True]) and np.isfinite(losses[False])
+    assert abs(losses[True] - losses[False]) < 0.5, losses
