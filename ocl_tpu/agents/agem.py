@@ -30,6 +30,7 @@ class AGEM(ContinualLearner):
         self.update_fn = build_update(self)
 
     def _build_train_task_fn(self):
+        unroll = max(1, int(getattr(self.params, "scan_unroll", 1)))
         tx = self.tx
         mem_iters = int(self.params.mem_iters)
         retrieve_fn, update_fn = self.retrieve_fn, self.update_fn
@@ -82,7 +83,8 @@ class AGEM(ContinualLearner):
             return new_state, {"loss": loss_b, "acc": acc_b}
 
         def train_task_fn(state, ctx, xs, ys):
-            return jax.lax.scan(lambda c, i: step(c, ctx, i[0], i[1]), state, (xs, ys))
+            return jax.lax.scan(lambda c, i: step(c, ctx, i[0], i[1]),
+                                state, (xs, ys), unroll=unroll)
 
         return train_task_fn
 

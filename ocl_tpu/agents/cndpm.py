@@ -144,6 +144,10 @@ class Cndpm(ContinualLearner):
 
     def _build_train_task_fn(self):
         params_ns = self.params
+        # scan_unroll is ignored here: the step body embeds the full sleep
+        # training loop (lax.cond), so unrolling multiplies an already-huge
+        # program for a step that is routing-bound, not loop-overhead-bound
+        unroll = 1
         K = self.K
         cap = self.stm_capacity
         sleep_g = int(getattr(params_ns, "sleep_step_g", V.SLEEP_STEP_G))
@@ -296,7 +300,8 @@ class Cndpm(ContinualLearner):
                                "stm": ag["stm_count"].astype(jnp.float32)}
 
         def train_task_fn(state, xs, ys):
-            return jax.lax.scan(lambda c, i: step(c, i[0], i[1]), state, (xs, ys))
+            return jax.lax.scan(lambda c, i: step(c, i[0], i[1]),
+                                state, (xs, ys), unroll=unroll)
 
         return train_task_fn
 

@@ -32,6 +32,7 @@ class ExperienceReplay(ContinualLearner):
 
     def _build_train_task_fn(self):
         module, tx = self.module, self.tx
+        unroll = max(1, int(getattr(self.params, "scan_unroll", 1)))
         mem_iters = int(self.params.mem_iters)
         retrieve_fn, update_fn = self.retrieve_fn, self.update_fn
         aser_mode = self.aser_mode
@@ -139,7 +140,7 @@ class ExperienceReplay(ContinualLearner):
             def body(carry, inp):
                 return step(carry, ctx, inp[0], inp[1])
 
-            return jax.lax.scan(body, state, (xs, ys))
+            return jax.lax.scan(body, state, (xs, ys), unroll=unroll)
 
         return train_task_fn
 

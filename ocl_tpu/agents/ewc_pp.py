@@ -49,6 +49,7 @@ class EWC_pp(ContinualLearner):
         return ag
 
     def _build_train_task_fn(self):
+        unroll = max(1, int(getattr(self.params, "scan_unroll", 1)))
         tx = self.tx
         lam, alpha, fua = self.lambda_, self.alpha, self.fua
 
@@ -96,7 +97,8 @@ class EWC_pp(ContinualLearner):
             return new_state, {"loss": loss, "acc": acc}
 
         def train_task_fn(state, ctx, xs, ys):
-            return jax.lax.scan(lambda c, i: step(c, ctx, i[0], i[1]), state, (xs, ys))
+            return jax.lax.scan(lambda c, i: step(c, ctx, i[0], i[1]),
+                                state, (xs, ys), unroll=unroll)
 
         return train_task_fn
 

@@ -53,6 +53,7 @@ class Gdumb(ContinualLearner):
 
     def _build_retrain_fn(self):
         tx = self.retrain_tx
+        unroll = max(1, int(getattr(self.params, "scan_unroll", 1)))
 
         def loss_fn(p, stats, xb, yb, ctx):
             logits, new_stats = forward_train(self.module, p, stats, xb)
@@ -68,7 +69,7 @@ class Gdumb(ContinualLearner):
                 return (optax.apply_updates(p, updates), st, opt), loss
 
             (params, stats, opt_state), losses = jax.lax.scan(
-                body, (params, stats, opt_state), idx)
+                body, (params, stats, opt_state), idx, unroll=unroll)
             return params, stats, opt_state, losses
 
         return retrain

@@ -42,6 +42,7 @@ class Icarl(ContinualLearner):
                 "has_teacher": jnp.zeros((), jnp.float32)}
 
     def _build_train_task_fn(self):
+        unroll = max(1, int(getattr(self.params, "scan_unroll", 1)))
         tx = self.tx
         update_fn = self.update_fn
         n_classes = self.n_classes
@@ -104,7 +105,8 @@ class Icarl(ContinualLearner):
             def body(carry, inp):
                 return step(carry, label_map, n_old, all_cls, inp[0], inp[1])
 
-            (state, _), metrics = jax.lax.scan(body, (state, updated0), (xs, ys))
+            (state, _), metrics = jax.lax.scan(body, (state, updated0),
+                                               (xs, ys), unroll=unroll)
             return state, metrics
 
         return train_task_fn

@@ -20,6 +20,7 @@ class Lwf(ContinualLearner):
     uses_buffer = False
 
     def _build_train_task_fn(self):
+        unroll = max(1, int(getattr(self.params, "scan_unroll", 1)))
         tx = self.tx
 
         def loss_fn(p, stats, xb, yb, ctx, agent_state):
@@ -47,7 +48,8 @@ class Lwf(ContinualLearner):
                                  opt_state=opt_state), {"loss": loss, "acc": acc}
 
         def train_task_fn(state, ctx, xs, ys):
-            return jax.lax.scan(lambda c, i: step(c, ctx, i[0], i[1]), state, (xs, ys))
+            return jax.lax.scan(lambda c, i: step(c, ctx, i[0], i[1]),
+                                state, (xs, ys), unroll=unroll)
 
         return train_task_fn
 

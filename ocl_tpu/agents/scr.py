@@ -47,6 +47,7 @@ class SupContrastReplay(ContinualLearner):
 
     def _build_train_task_fn(self):
         tx = self.tx
+        unroll = max(1, int(getattr(self.params, "scan_unroll", 1)))
         mem_iters = int(self.params.mem_iters)
         retrieve_fn, update_fn = self.retrieve_fn, self.update_fn
 
@@ -98,7 +99,7 @@ class SupContrastReplay(ContinualLearner):
             def body(carry, inp):
                 return step(carry, ctx, inp[0], inp[1])
 
-            return jax.lax.scan(body, state, (xs, ys))
+            return jax.lax.scan(body, state, (xs, ys), unroll=unroll)
 
         return train_task_fn
 

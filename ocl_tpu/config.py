@@ -8,6 +8,7 @@ single SimpleNamespace ("params") threaded through the framework.
 from __future__ import annotations
 
 import argparse
+import os
 from types import SimpleNamespace
 
 import yaml
@@ -166,6 +167,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "accuracy-parity-verified (PARITY_RESULTS.md "
                              "ER_FUSED row); pass False for the reference's "
                              "exact two-pass schedule")
+    parser.add_argument("--scan_unroll", dest="scan_unroll",
+                        default=int(os.environ.get("OCL_TPU_SCAN_UNROLL", "4")),
+                        type=int,
+                        help="unroll factor for the per-task step scan "
+                             "(amortizes loop bookkeeping: ~+9%% throughput "
+                             "at 4 on TPU; raises compile time — tests pin "
+                             "it to 1 via OCL_TPU_SCAN_UNROLL)")
     parser.add_argument("--compute_dtype", dest="compute_dtype", default="fp32",
                         choices=["fp32", "bf16"],
                         help="forward/backward compute precision: bf16 runs "

@@ -10,6 +10,11 @@ wedge the TPU worker.
 
 import os
 
+# scan unroll multiplies CPU compile time for every scanned task program;
+# it is semantics-neutral (tests assert behavior), so pin it to 1 here.
+# Must land before ocl_tpu.config is imported (it reads the env default).
+os.environ["OCL_TPU_SCAN_UNROLL"] = "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
