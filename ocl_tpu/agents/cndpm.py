@@ -312,6 +312,15 @@ class Cndpm(ContinualLearner):
             fn = jax.jit(self._build_train_task_fn(), donate_argnums=0)
             self._eval_cache["train"] = fn
         state, metrics = fn(state, xs, ys)
+        if getattr(self.params, "debug_nans", False) and "loss" in metrics:
+            import numpy as np
+
+            loss = np.asarray(metrics["loss"])
+            if not np.all(np.isfinite(loss)):
+                bad = int(np.nonzero(~np.isfinite(loss))[0][0])
+                raise FloatingPointError(
+                    "non-finite CN-DPM loss at step {} of task {} "
+                    "(--debug_nans)".format(bad, self.task_seen))
         n_sat = int(state.agent["saturated_sleeps"])
         if n_sat > 0:
             import warnings

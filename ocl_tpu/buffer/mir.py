@@ -40,7 +40,11 @@ def build_mir_retrieve(agent):
         has_any = jnp.any(sub_mask)
         stats_out = jax.tree_util.tree_map(
             lambda new, old: jnp.where(has_any, new, old), stats_after, stats)
-        logits_post, _ = forward_train(module, virtual, stats, sub_x)
+        # same mask on the post forward: both scoring passes must normalize
+        # with statistics of the same (valid) rows or the score measures the
+        # normalization shift instead of interference
+        logits_post, _ = forward_train(module, virtual, stats, sub_x,
+                                       w=sub_mask)
         nll = lambda lg: -jnp.take_along_axis(  # noqa: E731
             jax.nn.log_softmax(lg, axis=-1), sub_y[:, None], axis=1)[:, 0]
         scores = nll(logits_post) - nll(logits_pre)

@@ -8,10 +8,10 @@ scalars (learning_rate / weight_decay) share ONE jitted program: the agent is
 built with `optax.inject_hyperparams` so lr/wd live in `opt_state.hyperparams`
 as array leaves, states for all G*R points are stacked, and the scanned task
 fn is vmapped over the stacked axis — each point carries its own hyperparams
-in its own optimizer state. On a multi-chip mesh the point axis is sharded
-one-per-device; on a single device the caller should fall back to the
-sequential loop (vmapped conv weights lower poorly there, see
-experiment/parallel_run.py).
+in its own optimizer state. The point axis is padded to a multiple of the
+device count and sharded one-per-device on a multi-chip mesh; on a single
+device the caller should fall back to the sequential loop (vmapped conv
+weights lower poorly there, see experiment/parallel_run.py).
 
 All points consume identical tune batches (in_axes=None), which also makes
 the comparison between grid points paired rather than independently shuffled.
@@ -40,16 +40,23 @@ def supports_parallel_grid(default_params, tune_params) -> bool:
                if isinstance(v, (list, tuple)) and len(v) > 1}
     if not varying or not varying <= INJECTABLE:
         return False
-    if default_params.agent not in GRID_CAPABLE:
+    # guard against the *effective* per-point params: length-1 grid lists
+    # override the defaults without being "varying" (e.g. retrieve: [MIR])
+    eff = dict(vars(default_params))
+    eff.update({k: (v[0] if isinstance(v, (list, tuple)) else v)
+                for k, v in tune_params.items() if k not in varying})
+    if eff.get("agent") not in GRID_CAPABLE:
         return False
     # MIR's virtual step uses the *configured* lr (buffer/mir.py), which is
     # baked per-agent — a traced per-point lr can't reach it; fall back.
-    if getattr(default_params, "retrieve", None) == "MIR" \
-            and "learning_rate" in varying:
+    if eff.get("retrieve") == "MIR" and "learning_rate" in varying:
         return False
-    if default_params.trick.get("ncm_trick") or \
-            default_params.trick.get("review_trick") or \
-            getattr(default_params, "error_analysis", False):
+    trick = dict(default_params.trick)
+    for k in ("ncm_trick", "review_trick"):
+        if isinstance(eff.get(k), bool):
+            trick[k] = eff[k]
+    if trick.get("ncm_trick") or trick.get("review_trick") or \
+            bool(eff.get("error_analysis", False)):
         return False
     return len(jax.devices()) > 1
 
@@ -61,32 +68,42 @@ def tune_hyper_parallel(tune_data, tune_test_loaders, default_params,
 
     R = int(default_params.num_runs_val)
     G = len(grid)
+    n_dev = len(jax.devices())
     points = [(g, r) for g in range(G) for r in range(R)]
-    print("{} grid points x {} val runs = {} vmapped tuning states".format(
-        G, R, len(points)))
+    # pad to a device multiple so the point axis always shards one-per-device
+    # (unsharded vmapped convs on one device are the slow grouped-conv path)
+    n_real = len(points)
+    while len(points) % n_dev:
+        points.append(points[-1])
+    print("{} grid points x {} val runs = {} vmapped tuning states "
+          "({} padding)".format(G, R, len(points), len(points) - n_real))
 
     # one agent per grid point (hyperparams live in its injected opt_state);
-    # agent 0's step fn serves all points
-    built = []
-    for g, r in points:
-        p = merged(default_params, dict(grid[g], inject_hp=True))
-        agent = agents[p.agent](p)
-        state = agent.init_state(jax.random.PRNGKey(p.seed + 1000 + r))
-        built.append((agent, state))
-    agent0 = built[0][0]
-    state = _stack([s for _, s in built])
+    # one model init per val run (grid points at the same r share init
+    # weights, like the sequential loop); agent 0's step fn serves all points
+    agents_g = []
+    for g in range(G):
+        pg = merged(default_params, dict(grid[g], inject_hp=True))
+        agents_g.append(agents[pg.agent](pg))
+    agent0 = agents_g[0]
+    seed = int(default_params.seed)
+    states_r = [agent0.init_state(jax.random.PRNGKey(seed + 1000 + r))
+                for r in range(R)]
+    point_states = [
+        states_r[r].replace(opt_state=agents_g[g].tx.init(states_r[r].params))
+        for g, r in points
+    ]
+    state = _stack(point_states)
 
-    n_dev = len(jax.devices())
-    if len(points) % n_dev == 0:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ocl_tpu.parallel.mesh import get_mesh
+    from ocl_tpu.parallel.mesh import get_mesh
 
-        mesh = get_mesh(n_dev)
-        sharding = NamedSharding(mesh, P("data"))
-        state = jax.tree_util.tree_map(
-            lambda a: jax.device_put(a, sharding), state)
-        print("tuning points sharded over {} devices".format(n_dev))
+    mesh = get_mesh(n_dev)
+    sharding = NamedSharding(mesh, P("data"))
+    state = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sharding), state)
+    print("tuning points sharded over {} devices".format(n_dev))
 
     task_fn = jax.jit(jax.vmap(agent0._build_train_task_fn(),
                                in_axes=(0, None, None, None)),
@@ -108,8 +125,11 @@ def tune_hyper_parallel(tune_data, tune_test_loaders, default_params,
 
     n_cls = agent0.n_classes
     old = np.zeros(n_cls, bool)
-    acc = np.zeros((len(points), len(tune_data), len(tune_test_loaders)))
-    shuffle_state = built[0][1]  # rng-threading host state for batchify
+    acc = np.zeros((n_real, len(tune_data), len(tune_test_loaders)))
+    # dedicated shuffle key: must not alias any point's in-training rng
+    # (point (0,0)'s stacked state still carries PRNGKey(seed+1000))
+    shuffle_state = states_r[0].replace(
+        rng=jax.random.PRNGKey(seed + 999_983))
     for t, (x_train, y_train, _labels) in enumerate(tune_data):
         new = np.zeros(n_cls, bool)
         new[sorted(set(int(v) for v in np.asarray(y_train).reshape(-1)))] = True
@@ -121,7 +141,7 @@ def tune_hyper_parallel(tune_data, tune_test_loaders, default_params,
         state = agent0.after_train(state, ctx)  # leaf-wise (LWF teacher snap)
         old |= new
         for tt, (x, y, m) in enumerate(tune_test_loaders):
-            correct = np.asarray(eval_fn(state, x, y, m))
+            correct = np.asarray(eval_fn(state, x, y, m))[:n_real]
             acc[:, t, tt] = correct / max(int(np.sum(np.asarray(m))), 1)
 
     acc = acc.reshape(G, R, len(tune_data), len(tune_test_loaders))

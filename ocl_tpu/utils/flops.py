@@ -10,10 +10,7 @@ trip count, `cond` takes the max branch, `while` counts one body iteration.
 
 from __future__ import annotations
 
-import math
-
 import jax
-import numpy as np
 
 ELEMENTWISE = {
     "add", "sub", "mul", "div", "max", "min", "pow", "exp", "log", "tanh",
@@ -46,12 +43,12 @@ def _conv_flops(eqn):
     out = eqn.outvars[0].aval
     rhs = eqn.invars[1].aval
     dnums = eqn.params["dimension_numbers"]
-    groups = int(eqn.params.get("feature_group_count", 1)) * \
-        int(eqn.params.get("batch_group_count", 1))
-    # output elements * (kernel spatial * in_channels / groups) MACs each
+    # output elements * (kernel spatial * per-group in_channels) MACs each;
+    # the kernel's in-channel dim is ALREADY C_in/feature_group_count, so no
+    # further division by the group counts
     k_spatial = _prod([rhs.shape[i] for i in dnums.rhs_spec[2:]])
     in_ch = rhs.shape[dnums.rhs_spec[1]]
-    return 2 * _prod(out.shape) * k_spatial * in_ch // max(groups, 1)
+    return 2 * _prod(out.shape) * k_spatial * in_ch
 
 
 def count_jaxpr_flops(jaxpr) -> int:
