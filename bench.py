@@ -23,6 +23,7 @@ over the measured step time, against the chip's dense peak).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 TORCH_CPU_BASELINE_IMGS_PER_SEC = 45.3  # measured: tools/measure_torch_baseline.py
@@ -203,8 +204,16 @@ def main():
     import ocl_tpu.models.ndpm_vars as V
 
     results = []
+    t0 = time.time()
+    # cold compiles through the remote-compile service can be slow; never let
+    # the suite starve the headline JSON line the driver waits for
+    SUITE_BUDGET_S = float(os.environ.get("OCL_TPU_BENCH_BUDGET", "900"))
 
-    def emit(row):
+    def emit(thunk, label=""):
+        if time.time() - t0 > SUITE_BUDGET_S:
+            print("SUITE skipped (time budget): " + label)
+            return
+        row = thunk()
         # suite rows print as prefixed (non-JSON) lines so the driver's
         # one-JSON-line contract stays unambiguous; the full suite is
         # persisted to BENCH_SUITE.json
@@ -221,36 +230,41 @@ def main():
             er["flops_per_step"] / (er["step_ms"] / 1e3) / peak * 100, 2)
         er["device_kind"] = kind
 
-    emit(bench_stream_agent("er_bf16_stream_throughput", 500, agent="ER",
-                            mem_size=1000, batch=10, eps_mem_batch=10,
-                            compute_dtype="bf16"))
-    emit(bench_stream_agent("er_mir_stream_throughput", 300, agent="ER",
-                            retrieve="MIR", subsample=50, mem_size=1000,
-                            batch=10, eps_mem_batch=10))
-    emit(bench_stream_agent("er_gss_stream_throughput", 200, agent="ER",
-                            update="GSS", gss_batch_size=10,
-                            gss_mem_strength=10, mem_size=1000, batch=10,
-                            eps_mem_batch=10))
-    emit(bench_stream_agent("aser_asvm_stream_throughput", 200, agent="ER",
-                            update="ASER", retrieve="ASER", aser_type="asvm",
-                            k=5, n_smp_cls=2.0, mem_size=1000, batch=10,
-                            eps_mem_batch=10))
-    emit(bench_stream_agent("scr_stream_throughput", 200, agent="SCR",
-                            retrieve="random", mem_size=1000, batch=10,
-                            eps_mem_batch=100, head="mlp", temp=0.07))
+    emit(lambda: bench_stream_agent(
+        "er_bf16_stream_throughput", 500, agent="ER", mem_size=1000,
+        batch=10, eps_mem_batch=10, compute_dtype="bf16"), "er_bf16")
+    emit(lambda: bench_stream_agent(
+        "er_mir_stream_throughput", 300, agent="ER", retrieve="MIR",
+        subsample=50, mem_size=1000, batch=10, eps_mem_batch=10), "er_mir")
+    emit(lambda: bench_stream_agent(
+        "er_gss_stream_throughput", 200, agent="ER", update="GSS",
+        gss_batch_size=10, gss_mem_strength=10, mem_size=1000, batch=10,
+        eps_mem_batch=10), "er_gss")
+    emit(lambda: bench_stream_agent(
+        "aser_asvm_stream_throughput", 200, agent="ER", update="ASER",
+        retrieve="ASER", aser_type="asvm", k=5, n_smp_cls=2.0, mem_size=1000,
+        batch=10, eps_mem_batch=10), "aser")
+    emit(lambda: bench_stream_agent(
+        "scr_stream_throughput", 200, agent="SCR", retrieve="random",
+        mem_size=1000, batch=10, eps_mem_batch=100, head="mlp", temp=0.07),
+        "scr")
+
     # CN-DPM: small sleep budgets bound the bench (full defaults sleep for
     # 5000 steps — a training run, not a step benchmark); 2 sleeps included.
-    old_z = V.VAE_Z_SAMPLES
-    V.VAE_Z_SAMPLES = 4
-    try:
-        emit(bench_stream_agent("cndpm_stream_throughput", 100, agent="CNDPM",
-                                max_experts=4, stm_capacity=400,
-                                optimizer="Adam", learning_rate=0.001,
-                                sleep_step_g=100, sleep_step_d=25))
-    finally:
-        V.VAE_Z_SAMPLES = old_z
-    emit(bench_gdumb())
-    emit(bench_ncm_eval())
+    def cndpm_row():
+        old_z = V.VAE_Z_SAMPLES
+        V.VAE_Z_SAMPLES = 4
+        try:
+            return bench_stream_agent(
+                "cndpm_stream_throughput", 100, agent="CNDPM", max_experts=4,
+                stm_capacity=400, optimizer="Adam", learning_rate=0.001,
+                sleep_step_g=100, sleep_step_d=25)
+        finally:
+            V.VAE_Z_SAMPLES = old_z
+
+    emit(cndpm_row, "cndpm")
+    emit(bench_gdumb, "gdumb")
+    emit(bench_ncm_eval, "ncm_eval")
 
     er["vs_baseline"] = round(er["value"] / TORCH_CPU_BASELINE_IMGS_PER_SEC, 2)
     results.append(er)
