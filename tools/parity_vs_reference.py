@@ -265,6 +265,11 @@ def write_report(args, results):
         "ER_FUSED / SCR_FUSED / ER_BF16 are ocl-only modes compared against",
         "the plain reference ER / SCR (they validate the fused and bf16",
         "fast paths against the reference's exact schedule).",
+        "Fgt deltas read with the acc deltas: Avg_End_Fgt = per-task peak",
+        "minus final accuracy, so a framework that peaks higher on each task",
+        "shows higher 'forgetting' at equal-or-better end accuracy (e.g. ER",
+        "over 5 seeds: Δacc +0.016, Δfgt +0.08 — a peak-height artifact,",
+        "not worse retention).",
         "",
     ]
     with open(args.out, "w") as f:
