@@ -142,6 +142,16 @@ class ContinualLearner:
             state = state.replace(agent=ag)
         return state
 
+    # --------- stacked-state hooks (experiment/parallel_tune.py): agents
+    # whose per-task host transitions involve cross-leaf reductions override
+    # these with point-axis-aware versions; the defaults delegate.
+
+    def before_task_stacked(self, state):
+        return state
+
+    def after_train_stacked(self, state, ctx):
+        return self.after_train(state, ctx)
+
     # ------------------------------------------------------------ criterion
 
     def criterion(self, logits, labels, ctx: TaskCtx, mask=None):

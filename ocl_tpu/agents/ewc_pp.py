@@ -126,6 +126,47 @@ class EWC_pp(ContinualLearner):
         ag["normalized_fisher"] = normalize(ag["running_fisher"])
         # snapshot copied outside jit so XLA cannot alias it to the live params
         ag["prev_params"] = tree_copy(state.params)
-        ag["has_prev"] = jnp.ones((), jnp.float32)
+        ag["has_prev"] = jnp.ones_like(ag["has_prev"])
         state = state.replace(agent=ag)
         return super().after_train(state, ctx)
+
+    # ----- stacked-state hooks (experiment/parallel_tune.py): the fisher
+    # min-max normalization reduces over leaves, which on a stacked [P, ...]
+    # state would mix grid points — reduce per point instead.
+
+    def before_task_stacked(self, state):
+        ag = dict(state.agent)
+        ag["step_in_task"] = jnp.zeros_like(ag["step_in_task"])
+        return state.replace(agent=ag)
+
+    def after_train_stacked(self, state, ctx):
+        from ocl_tpu.utils.meters import tree_copy
+
+        normalize = self._eval_cache.get("finalize_stacked")
+        if normalize is None:
+            @jax.jit
+            def normalize(running):
+                leaves = jax.tree_util.tree_leaves(running)
+
+                def flat(l):
+                    return l.reshape(l.shape[0], -1)
+
+                mx = jnp.max(jnp.stack([jnp.max(flat(l), axis=1)
+                                        for l in leaves]), axis=0)  # [P]
+                mn = jnp.min(jnp.stack([jnp.min(flat(l), axis=1)
+                                        for l in leaves]), axis=0)
+
+                def norm(f):
+                    b = (-1,) + (1,) * (f.ndim - 1)
+                    return (f - mn.reshape(b)) / (
+                        mx.reshape(b) - mn.reshape(b) + 1e-32)
+
+                return jax.tree_util.tree_map(norm, running)
+
+            self._eval_cache["finalize_stacked"] = normalize
+        ag = dict(state.agent)
+        ag["normalized_fisher"] = normalize(ag["running_fisher"])
+        ag["prev_params"] = tree_copy(state.params)
+        ag["has_prev"] = jnp.ones_like(ag["has_prev"])
+        state = state.replace(agent=ag)
+        return ContinualLearner.after_train(self, state, ctx)

@@ -28,11 +28,11 @@ from ocl_tpu.experiment.parallel_run import _stack
 from ocl_tpu.registry import agents
 
 INJECTABLE = {"learning_rate", "weight_decay"}
-# agents whose after_train is safe on a stacked state (no cross-point
-# reductions): ER/AGEM have no device-side after_train work, LWF's teacher
-# snapshot is leaf-wise. EWC's fisher normalization reduces over the whole
-# tree — excluded until vmapped.
-GRID_CAPABLE = ("ER", "AGEM", "LWF")
+# agents whose per-task transitions are safe on a stacked state: ER/AGEM
+# have no device-side after_train work, LWF's teacher snapshot is leaf-wise,
+# and EWC provides point-axis-aware before_task_stacked/after_train_stacked
+# hooks (its fisher normalization reduces per point).
+GRID_CAPABLE = ("ER", "AGEM", "LWF", "EWC")
 
 
 def supports_parallel_grid(default_params, tune_params) -> bool:
@@ -137,8 +137,9 @@ def tune_hyper_parallel(tune_data, tune_test_loaders, default_params,
                       task_seen=jnp.asarray(t, jnp.int32))
         # shared shuffle for all points (paired comparison)
         shuffle_state, xs, ys = agent0.batchify(shuffle_state, x_train, y_train)
+        state = agent0.before_task_stacked(state)
         state, _ = task_fn(state, ctx, xs, ys)
-        state = agent0.after_train(state, ctx)  # leaf-wise (LWF teacher snap)
+        state = agent0.after_train_stacked(state, ctx)
         old |= new
         for tt, (x, y, m) in enumerate(tune_test_loaders):
             correct = np.asarray(eval_fn(state, x, y, m))[:n_real]

@@ -78,3 +78,58 @@ def test_supports_parallel_grid_gating():
     assert not supports_parallel_grid(p2, {"subsample": [10, 50]})
     assert supports_parallel_grid(
         p2, {"learning_rate": [0.01, 0.1], "weight_decay": [0.0, 0.01]})
+
+
+def test_tune_hyper_parallel_ewc():
+    """EWC lr grids use the stacked-safe fisher hooks (per-point min-max)."""
+    from ocl_tpu.data import prepare_test_loaders
+    from ocl_tpu.experiment.tune import parameter_grid, tune_hyper
+
+    p = default_params(data="synthetic", agent="EWC", lambda_=100.0,
+                       alpha=0.9, fisher_update_after=10, nf=4,
+                       verbose=False, num_runs_val=1, parallel_runs=True,
+                       test_batch=20, batch=10)
+    tune_params = {"learning_rate": [0.02, 0.1]}
+    tasks = _tiny_stream()
+    g = np.random.RandomState(2)
+    tests = [(g.rand(20, 32, 32, 3).astype(np.float32),
+              g.randint(0, 4, 20)) for _ in range(2)]
+    loaders = prepare_test_loaders(tests, p)
+    best = tune_hyper(tasks, loaders, p, tune_params)
+    assert best in parameter_grid(tune_params)
+
+
+def test_ewc_stacked_normalize_matches_per_point():
+    """after_train_stacked's per-point min-max == running each point through
+    the unstacked after_train normalization."""
+    import jax.numpy as jnp
+
+    from ocl_tpu.experiment.parallel_run import _stack
+
+    from ocl_tpu.registry import agents
+
+    p = default_params(data="synthetic", agent="EWC", nf=4, verbose=False)
+    agent = agents["EWC"](p)
+    states = [agent.init_state(jax.random.PRNGKey(i)) for i in range(2)]
+    # distinct fake fishers per point
+    for i, s in enumerate(states):
+        ag = dict(s.agent)
+        ag["running_fisher"] = jax.tree_util.tree_map(
+            lambda a: jnp.abs(a) * (i + 1) + i, s.agent["running_fisher"])
+        states[i] = s.replace(agent=ag)
+
+    class _Ctx:
+        pass
+
+    ctx = None
+    stacked = _stack(states)
+    out_stacked = agent.after_train_stacked(stacked, ctx)
+    for i in range(2):
+        agent2 = agents["EWC"](p)
+        out_i = agent2.after_train(states[i], ctx)
+        got = jax.tree_util.tree_leaves(
+            out_stacked.agent["normalized_fisher"])
+        want = jax.tree_util.tree_leaves(out_i.agent["normalized_fisher"])
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a[i]), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
