@@ -57,8 +57,20 @@ def _sync(x):
     return np.asarray(jax.tree_util.tree_leaves(x)[0]) if x is not None else None
 
 
+def add_mfu(row):
+    """MFU from the row's analytic flops_per_step over its measured step
+    time, against the chip's dense peak (the analytic count errs low, so
+    MFU errs low)."""
+    kind, peak = device_peak_flops()
+    if row.get("flops_per_step") and row.get("step_ms") and peak:
+        row["mfu_pct"] = round(
+            row["flops_per_step"] / (row["step_ms"] / 1e3) / peak * 100, 2)
+        row["device_kind"] = kind
+    return row
+
+
 def bench_stream_agent(label, n_steps, reps=3, img=32, n_cls=10,
-                       want_flops=False, **overrides):
+                       want_flops=True, flops_cond_mode="max", **overrides):
     """Time the jitted scanned task fn over n_steps stream batches."""
     import jax
     import jax.numpy as jnp
@@ -87,7 +99,8 @@ def bench_stream_agent(label, n_steps, reps=3, img=32, n_cls=10,
             # conv FLOPs through the remote-compile path (utils/flops.py)
             from ocl_tpu.utils.flops import estimate_fn_flops
 
-            flops_per_step = estimate_fn_flops(fn, state, *args) / n_steps
+            flops_per_step = estimate_fn_flops(
+                fn, state, *args, cond_mode=flops_cond_mode) / n_steps
         except Exception:
             pass
 
@@ -99,13 +112,13 @@ def bench_stream_agent(label, n_steps, reps=3, img=32, n_cls=10,
         state, m = fn(state, *args)
         _sync(m)
         best = min(best, time.time() - t0)
-    return {
+    return add_mfu({
         "metric": label,
         "value": round(n_steps * bs / best, 1),
         "unit": "images/sec",
         "step_ms": round(best / n_steps * 1e3, 3),
         "flops_per_step": flops_per_step,
-    }
+    })
 
 
 def bench_gdumb(n_items=1000, mem_epoch=10):
@@ -134,6 +147,16 @@ def bench_gdumb(n_items=1000, mem_epoch=10):
                   for _ in range(mem_epoch)]).reshape(-1, bs))
 
     fn = jax.jit(agent._build_retrain_fn())
+    flops_per_step = None
+    try:
+        from ocl_tpu.utils.flops import estimate_fn_flops
+
+        flops_per_step = estimate_fn_flops(
+            fn, state.params, state.batch_stats,
+            agent.retrain_tx.init(state.params), ctx, mem_x, mem_y,
+            idx) / (mem_epoch * nb)
+    except Exception:
+        pass
     out = fn(state.params, state.batch_stats, agent.retrain_tx.init(state.params),
              ctx, mem_x, mem_y, idx)
     np.asarray(out[3])
@@ -144,12 +167,13 @@ def bench_gdumb(n_items=1000, mem_epoch=10):
                  agent.retrain_tx.init(state.params), ctx, mem_x, mem_y, idx)
         np.asarray(out[3])
         best = min(best, time.time() - t0)
-    return {
+    return add_mfu({
         "metric": "gdumb_retrain_throughput",
         "value": round(mem_epoch * nb * bs / best, 1),
         "unit": "images/sec",
         "step_ms": round(best / (mem_epoch * nb) * 1e3, 3),
-    }
+        "flops_per_step": flops_per_step,
+    })
 
 
 def bench_ncm_eval(n_batches=40, test_batch=128):
@@ -220,15 +244,14 @@ def main():
         results.append(row)
         print("SUITE " + json.dumps(row)[1:-1].replace('"', ""))
 
-    # headline first to compute, printed last
+    # headline first to compute, printed last. mode=fused records that the
+    # headline runs the (default) fused-replay schedule — the torch-CPU
+    # divisor was measured on the reference's two-pass loop, so vs_baseline
+    # is a schedule-for-default comparison, not schedule-for-schedule
+    # (BASELINE.md quantifies the ~1.25x fused-vs-two-pass gap).
     er = bench_stream_agent("er_stream_throughput", 500, mem_size=1000,
-                            agent="ER", batch=10, eps_mem_batch=10,
-                            want_flops=True)
-    kind, peak = device_peak_flops()
-    if er.get("flops_per_step") and peak:
-        er["mfu_pct"] = round(
-            er["flops_per_step"] / (er["step_ms"] / 1e3) / peak * 100, 2)
-        er["device_kind"] = kind
+                            agent="ER", batch=10, eps_mem_batch=10)
+    er["mode"] = "fused"
 
     emit(lambda: bench_stream_agent(
         "er_bf16_stream_throughput", 500, agent="ER", mem_size=1000,
@@ -248,6 +271,12 @@ def main():
         "scr_stream_throughput", 200, agent="SCR", retrieve="random",
         mem_size=1000, batch=10, eps_mem_batch=100, head="mlp", temp=0.07),
         "scr")
+    # MXU-friendly shape (NOT a reference-parity config — the reference fixes
+    # batch=10): shows the step MFU the framework reaches when the workload
+    # lets the systolic array fill (VERDICT r2 #6)
+    emit(lambda: bench_stream_agent(
+        "er_batch128_bf16_throughput", 200, agent="ER", mem_size=1000,
+        batch=128, eps_mem_batch=128, compute_dtype="bf16"), "er_batch128")
 
     # CN-DPM: small sleep budgets bound the bench (full defaults sleep for
     # 5000 steps — a training run, not a step benchmark); 2 sleeps included.
@@ -255,16 +284,30 @@ def main():
         old_z = V.VAE_Z_SAMPLES
         V.VAE_Z_SAMPLES = 4
         try:
+            # cond_mode=min: the sleep branch fires once per stm_capacity
+            # steps; charging it per-step (max) would inflate MFU ~100x
             return bench_stream_agent(
                 "cndpm_stream_throughput", 100, agent="CNDPM", max_experts=4,
                 stm_capacity=400, optimizer="Adam", learning_rate=0.001,
-                sleep_step_g=100, sleep_step_d=25)
+                sleep_step_g=100, sleep_step_d=25, flops_cond_mode="min")
         finally:
             V.VAE_Z_SAMPLES = old_z
 
     emit(cndpm_row, "cndpm")
     emit(bench_gdumb, "gdumb")
     emit(bench_ncm_eval, "ncm_eval")
+
+    # full-budget CN-DPM sleep (SLEEP_STEP_G/D=4000/1000, stm 1000) is a
+    # training run, not a step benchmark — tools/cndpm_full_budget.py runs it
+    # once on the TPU and persists the row; carry it into the suite
+    full_row = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results", "cndpm_full_budget.json")
+    if os.path.exists(full_row):
+        try:
+            with open(full_row) as f:
+                results.append(json.load(f))
+        except Exception:
+            pass
 
     er["vs_baseline"] = round(er["value"] / TORCH_CPU_BASELINE_IMGS_PER_SEC, 2)
     results.append(er)

@@ -428,8 +428,13 @@ class ContinualLearner:
                 # classes with no exemplars get a random mean (reference
                 # agents/base.py:135-137)
                 means = jnp.where((cnts > 0)[:, None], means, noise)
-                return means / jnp.maximum(
+                means = means / jnp.maximum(
                     jnp.linalg.norm(means, axis=1, keepdims=True), 1e-12)
+                # ablation (parity tool ICARL_ZEROMEAN row): empty seen
+                # classes become unreachable instead of random unit vectors
+                if getattr(self.params, "abl_ncm_zero_empty", False):
+                    means = jnp.where((cnts > 0)[:, None], means, 1e6)
+                return means
 
             @jax.jit
             def ncm_eval(params, stats, means, seen, x, y, m):

@@ -46,6 +46,10 @@ class Icarl(ContinualLearner):
         tx = self.tx
         update_fn = self.update_fn
         n_classes = self.n_classes
+        # parity-ablation hooks (tools/parity_vs_reference.py ICARL_* rows):
+        # not part of the public flag surface, set via params attributes only
+        abl_noexcl = bool(getattr(self.params, "abl_icarl_noexcl", False))
+        abl_evalbn = bool(getattr(self.params, "abl_icarl_teacher_evalbn", False))
 
         def loss_fn(p, stats, x_all, targets, row_mask, col_mask):
             logits, new_stats = forward_train(self.module, p, stats, x_all, w=row_mask)
@@ -66,7 +70,8 @@ class Icarl(ContinualLearner):
             tgt_batch = jax.nn.one_hot(map_y, n_classes, dtype=jnp.float32)
 
             mem_x, _, mem_idx, mem_mask = random_retrieve(
-                buf, batch, r_ret, excl_mask=updated_mask)
+                buf, batch, r_ret,
+                excl_mask=None if abl_noexcl else updated_mask)
             has_prev = state.agent["has_teacher"] > 0
             mem_mask = mem_mask & has_prev
 
@@ -75,11 +80,19 @@ class Icarl(ContinualLearner):
             row_mask = jnp.concatenate([jnp.ones(batch, bool), mem_mask])
 
             def distill(t):
-                # prev_model deepcopied in train mode (reference icarl.py:31)
-                # -> batch-stat BN over the valid rows of the combined batch
-                q = jax.nn.sigmoid(forward_teacher(
-                    self.module, state.agent["teacher_params"],
-                    state.agent["teacher_stats"], x_all, w=row_mask))
+                if abl_evalbn:  # ablation: running-stat BN instead
+                    from ocl_tpu.models import forward_eval
+
+                    q = jax.nn.sigmoid(forward_eval(
+                        self.module, state.agent["teacher_params"],
+                        state.agent["teacher_stats"], x_all))
+                else:
+                    # prev_model deepcopied in train mode (reference
+                    # icarl.py:31) -> batch-stat BN over the valid rows of
+                    # the combined batch
+                    q = jax.nn.sigmoid(forward_teacher(
+                        self.module, state.agent["teacher_params"],
+                        state.agent["teacher_stats"], x_all, w=row_mask))
                 return jnp.where(old_cols[None, :], q, t)
 
             targets = jax.lax.cond(has_prev, distill, lambda t: t, targets)

@@ -168,12 +168,16 @@ def build_parser() -> argparse.ArgumentParser:
                              "ER_FUSED row); pass False for the reference's "
                              "exact two-pass schedule")
     parser.add_argument("--scan_unroll", dest="scan_unroll",
-                        default=int(os.environ.get("OCL_TPU_SCAN_UNROLL", "4")),
+                        default=(int(os.environ["OCL_TPU_SCAN_UNROLL"])
+                                 if "OCL_TPU_SCAN_UNROLL" in os.environ
+                                 else None),
                         type=int,
                         help="unroll factor for the per-task step scan "
                              "(amortizes loop bookkeeping: ~+9%% throughput "
-                             "at 4 on TPU; raises compile time — tests pin "
-                             "it to 1 via OCL_TPU_SCAN_UNROLL)")
+                             "at 4 on TPU; raises compile time — defaults to "
+                             "4 on TPU and 1 on CPU, where scan-body compile "
+                             "cost dominates; tests pin it to 1 via "
+                             "OCL_TPU_SCAN_UNROLL)")
     parser.add_argument("--compute_dtype", dest="compute_dtype", default="fp32",
                         choices=["fp32", "bf16"],
                         help="forward/backward compute precision: bf16 runs "
@@ -215,7 +219,25 @@ def finalize(params: SimpleNamespace) -> SimpleNamespace:
     for key, val in default_params_ns().__dict__.items():
         if not hasattr(params, key):
             setattr(params, key, val)
+    if getattr(params, "scan_unroll", None) is None:
+        # unroll 4 pays ~4x scan-body compile cost — worth it on TPU (fast
+        # compiles, +9% steady-state), ruinous on this 1-core CPU host
+        params.scan_unroll = 1 if _platform_is_cpu() else 4
     return params
+
+
+def _platform_is_cpu() -> bool:
+    """Best-effort platform probe without initializing a backend: the env var
+    (apply_platform_env re-applies it) or jax.config's current value."""
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if not plat:
+        try:
+            import jax
+
+            plat = jax.config.jax_platforms or ""
+        except Exception:
+            plat = ""
+    return plat.split(",")[0].strip().lower() == "cpu"
 
 
 def default_params_ns() -> SimpleNamespace:

@@ -58,7 +58,24 @@ def supports_parallel_grid(default_params, tune_params) -> bool:
     if trick.get("ncm_trick") or trick.get("review_trick") or \
             bool(eff.get("error_analysis", False)):
         return False
-    return len(jax.devices()) > 1
+    n_dev = len(jax.devices())
+    if n_dev <= 1:
+        return False
+    # occupancy gate: stacked points per device run through the vmapped
+    # batched-weight conv path (~2x slower per point than sequential —
+    # parallel_run.py's fallback rationale), so the win only survives up to
+    # ~2 points/device; beyond that the sequential loop is faster
+    g_points = 1
+    for v in tune_params.values():
+        if isinstance(v, (list, tuple)):
+            g_points *= max(1, len(v))
+    total = g_points * max(1, int(getattr(default_params, "num_runs_val", 1)))
+    if (total + n_dev - 1) // n_dev > 2:
+        print("parallel grid skipped: {} points over {} devices "
+              "(>2 stacked points/device loses to sequential)".format(
+                  total, n_dev))
+        return False
+    return True
 
 
 def tune_hyper_parallel(tune_data, tune_test_loaders, default_params,

@@ -51,7 +51,12 @@ def _conv_flops(eqn):
     return 2 * _prod(out.shape) * k_spatial * in_ch
 
 
-def count_jaxpr_flops(jaxpr) -> int:
+def count_jaxpr_flops(jaxpr, cond_mode="max") -> int:
+    """cond_mode: 'max' charges the most expensive branch; 'min' the
+    cheapest — use 'min' when a rare branch dominates (e.g. CN-DPM's sleep
+    cond, taken once per stm_capacity steps), keeping the estimate an
+    under-count."""
+    pick = max if cond_mode == "max" else min
     total = 0
     for eqn in jaxpr.eqns:
         name = eqn.primitive.name
@@ -61,12 +66,13 @@ def count_jaxpr_flops(jaxpr) -> int:
             total += _conv_flops(eqn)
         elif name == "scan":
             total += eqn.params["length"] * count_jaxpr_flops(
-                eqn.params["jaxpr"].jaxpr)
+                eqn.params["jaxpr"].jaxpr, cond_mode)
         elif name == "while":
-            total += count_jaxpr_flops(eqn.params["body_jaxpr"].jaxpr)
+            total += count_jaxpr_flops(eqn.params["body_jaxpr"].jaxpr,
+                                       cond_mode)
         elif name == "cond":
-            total += max(count_jaxpr_flops(b.jaxpr)
-                         for b in eqn.params["branches"])
+            total += pick(count_jaxpr_flops(b.jaxpr, cond_mode)
+                          for b in eqn.params["branches"])
         elif name in ("jit", "pjit", "custom_jvp_call", "custom_vjp_call",
                       "custom_vjp_call_jaxpr", "closed_call", "core_call",
                       "remat", "checkpoint", "custom_jvp_call_jaxpr"):
@@ -74,7 +80,8 @@ def count_jaxpr_flops(jaxpr) -> int:
                 or eqn.params.get("fun_jaxpr")
             if inner is not None:
                 total += count_jaxpr_flops(
-                    inner.jaxpr if hasattr(inner, "jaxpr") else inner)
+                    inner.jaxpr if hasattr(inner, "jaxpr") else inner,
+                    cond_mode)
         elif name in ELEMENTWISE:
             out = eqn.outvars[0].aval
             if hasattr(out, "shape"):
@@ -82,7 +89,7 @@ def count_jaxpr_flops(jaxpr) -> int:
     return total
 
 
-def estimate_fn_flops(fn, *args, **kwargs) -> int:
+def estimate_fn_flops(fn, *args, cond_mode="max", **kwargs) -> int:
     """FLOPs of one call of `fn(*args)` counted from its jaxpr."""
     jaxpr = jax.make_jaxpr(fn, **kwargs)(*args)
-    return count_jaxpr_flops(jaxpr.jaxpr)
+    return count_jaxpr_flops(jaxpr.jaxpr, cond_mode)

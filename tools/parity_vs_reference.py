@@ -6,19 +6,29 @@ code via tools/ref_oracle.py (torch CPU), and ocl_tpu (TPU or CPU) — and
 compares Avg_End_Acc / Avg_End_Fgt computed with the same bit-compatible
 metrics (reference: experiment/metrics.py:5-54). Writes PARITY_RESULTS.md.
 
-Trajectories differ by RNG (different frameworks, different samplers), so the
-acceptance is metric-based over multiple seeds, not bitwise — the same
-standard SURVEY.md §7 sets ("matching stochastic trajectories only
-distributionally").
+Statistics (VERDICT r2 #1): runs are seed-paired — both frameworks consume
+the same stream per seed — so every row reports the per-seed delta's mean
+with a 95% t-interval, plus a peak-vs-end decomposition: Avg_End_Fgt is
+per-task peak minus final accuracy (reference experiment/metrics.py:49-54),
+so Δfgt = Δpeak − Δacc identically; the decomposition shows whether a
+positive Δfgt is peak-height (Δpeak > 0 at Δacc ≥ 0) or retention loss.
+
+Raw accuracy matrices are content-addressed under results/parity_raw/ and
+reused across invocations: the torch side (the dominant cost, 1-core CPU) is
+computed once per distinct reference-visible config×stream×seed, shared by
+ocl-only variant rows (ER/ER_FUSED/ER_BF16; SCR/SCR_FUSED; ICARL and its
+ablations) and across re-runs/crashes.
 
 Usage (ocl side on the TPU by default; the torch side is always CPU):
-  python tools/parity_vs_reference.py --agents ER MIR EWC --seeds 3 \
-      --per_class 100 --difficulty 0.85 [--nf 20] [--cpu]
+  python tools/parity_vs_reference.py --agents ER MIR EWC --seeds 10
+  python tools/parity_vs_reference.py --seeds 10 --ref_only   # warm the
+      torch-side cache only (no TPU/JAX use; run in the background)
 """
 
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 import sys
@@ -30,8 +40,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+RAW_DIR = os.path.join(REPO, "results", "parity_raw")
+
 # Agent configurations compared. Keys are report rows; values are param
 # overrides shared by both frameworks (flag names are the parity contract).
+# Keys in OCL_ONLY_KEYS (and abl_* keys) are invisible to the reference side,
+# so rows differing only in those share one cached torch run.
 AGENT_CONFIGS = {
     # fused_replay pinned off: the row checks the reference's exact two-pass
     # schedule; ER_FUSED below checks the (default) fused path.
@@ -49,6 +63,18 @@ AGENT_CONFIGS = {
     "GDUMB": dict(agent="GDUMB", mem_epoch=10, minlr=0.0005, clip=10.0),
     "SCR": dict(agent="SCR", update="random", retrieve="random",
                 head="mlp", temp=0.07, eps_mem_batch=50, fused_replay=False),
+    # trick-combination rows (VERDICT r2 #7): the trick flags flow into
+    # params.trick on both sides (reference general_main.py:19-21)
+    "ER_LABELS": dict(agent="ER", update="random", retrieve="random",
+                      fused_replay=False, labels_trick=True),
+    "ER_KD": dict(agent="ER", update="random", retrieve="random",
+                  fused_replay=False, kd_trick=True),
+    # the CVPR SCR recipe (reference config_CVPR/agent/scr/scr_5k.yml):
+    # lr 0.1, temp 0.1, eps_mem_batch 100, review_trick
+    "SCR_REVIEW": dict(agent="SCR", update="random", retrieve="random",
+                       head="mlp", temp=0.1, eps_mem_batch=100,
+                       learning_rate=0.1, review_trick=True,
+                       fused_replay=False),
     # ocl-only variant: the (default) fused two-view forward vs the
     # reference's two sequential passes — validates the SCR fusion.
     "SCR_FUSED": dict(agent="SCR", update="random", retrieve="random",
@@ -63,11 +89,27 @@ AGENT_CONFIGS = {
     # torch reference — pins the mixed-precision mode's accuracy budget.
     "ER_BF16": dict(agent="ER", update="random", retrieve="random",
                     compute_dtype="bf16"),
+    # iCaRL delta ablations (VERDICT r2 weak #6): ocl-only toggles compared
+    # against the same cached reference ICARL runs — isolates which
+    # implementation choice moves the delta.
+    "ICARL_NOEXCL": dict(agent="ICARL", update="random", retrieve="random",
+                         abl_icarl_noexcl=True),
+    "ICARL_EVALBN": dict(agent="ICARL", update="random", retrieve="random",
+                         abl_icarl_teacher_evalbn=True),
+    "ICARL_ZEROMEAN": dict(agent="ICARL", update="random", retrieve="random",
+                           abl_ncm_zero_empty=True),
     # not in the default sweep (slow); run with --agents CNDPM. Sleep steps
     # are shrunk identically on both sides (see _patch_cndpm_constants).
     "CNDPM": dict(agent="CNDPM", stm_capacity=200, classifier_chill=0.01,
                   log_alpha=-300.0),
 }
+
+# param keys that only exist on the ocl side (the reference ignores them);
+# stripped before hashing/running the torch side so variant rows share runs
+OCL_ONLY_KEYS = {"fused_replay", "compute_dtype"}
+
+DEFAULT_SWEEP = [n for n in AGENT_CONFIGS
+                 if n != "CNDPM" and not n.startswith("ICARL_")]
 
 CNDPM_SLEEP_G, CNDPM_SLEEP_D = 500, 200
 
@@ -115,6 +157,49 @@ def to_uint8(x_float):
     return np.rint(np.asarray(x_float) * 255.0).astype(np.uint8)
 
 
+# ------------------------------------------------------------- raw-mat cache
+
+def _ref_cfg(cfg):
+    return {k: v for k, v in sorted(cfg.items())
+            if k not in OCL_ONLY_KEYS and not k.startswith("abl_")}
+
+
+def _digest(payload) -> str:
+    blob = json.dumps(payload, sort_keys=True, default=str)
+    return hashlib.md5(blob.encode()).hexdigest()[:12]
+
+
+def _cache_key(side, cfg, seed, args):
+    base = dict(
+        stream=dict(per_class=args.per_class, difficulty=args.difficulty,
+                    num_tasks=args.num_tasks, stream_seed=seed + 1),
+        hp=dict(mem_size=args.mem_size, eps_mem_batch=args.eps_mem_batch,
+                lr=args.lr, batch=args.batch, nf=args.nf),
+        seed=seed)
+    if side == "ref":
+        base["cfg"] = _ref_cfg(cfg)
+    else:
+        base["cfg"] = dict(sorted(cfg.items()))
+    if base["cfg"].get("agent") == "CNDPM":
+        base["cndpm_sleep"] = [CNDPM_SLEEP_G, CNDPM_SLEEP_D]
+    return os.path.join(RAW_DIR, "{}_{}.npy".format(side, _digest(base)))
+
+
+def _cached(path):
+    if os.path.exists(path):
+        return np.load(path)
+    return None
+
+
+def _store(path, mat):
+    os.makedirs(RAW_DIR, exist_ok=True)
+    tmp = path + ".tmp.npy"
+    np.save(tmp, mat)
+    os.replace(tmp, path)
+
+
+# ------------------------------------------------------------------ one side
+
 def run_ref_side(cfg, tasks, tests, seed, args):
     import ref_oracle
     from ocl_tpu.config import default_params
@@ -123,7 +208,7 @@ def run_ref_side(cfg, tasks, tests, seed, args):
               verbose=False, num_runs=1, nf=args.nf,
               mem_size=args.mem_size, eps_mem_batch=args.eps_mem_batch,
               learning_rate=args.lr, batch=args.batch)
-    kw.update(cfg)  # agent config wins on collisions (e.g. SCR eps_mem_batch)
+    kw.update(_ref_cfg(cfg))  # agent config wins on collisions
     params = default_params(**kw)
     tasks8 = [(to_uint8(x), np.asarray(y, np.int64)) for x, y in tasks]
     tests8 = [(to_uint8(x), np.asarray(y, np.int64)) for x, y in tests]
@@ -153,8 +238,44 @@ def run_ocl_side(cfg, tasks, tests, seed, args):
     return np.stack(rows)
 
 
+def get_side(side, name, cfg, seed, args, stream_cache):
+    """Cached accuracy matrix for one (row, seed, side)."""
+    path = _cache_key(side, cfg, seed, args)
+    mat = _cached(path)
+    if mat is not None:
+        return mat, True
+    if seed not in stream_cache:
+        stream_cache.clear()  # streams are ~50MB; keep one
+        stream_cache[seed] = make_stream(seed + 1, args.per_class,
+                                         args.difficulty, args.num_tasks)
+    tasks, tests = stream_cache[seed]
+    t0 = time.time()
+    if side == "ref":
+        mat = run_ref_side(cfg, tasks, tests, seed, args)
+    else:
+        mat = run_ocl_side(cfg, tasks, tests, seed, args)
+    _store(path, mat)
+    print("  [{} {} seed {}] {:.0f}s end_acc {:.3f}".format(
+        name, side, seed, time.time() - t0, mat[-1].mean()), flush=True)
+    return mat, False
+
+
+# ------------------------------------------------------------------- stats
+
+def _t_ci95(xs):
+    from scipy import stats as sps
+
+    xs = np.asarray(xs, float)
+    n = len(xs)
+    if n < 2:
+        return float(np.mean(xs)), float("nan")
+    return float(np.mean(xs)), float(
+        sps.t.ppf(0.975, n - 1) * sps.sem(xs))
+
+
 def summarize(acc_runs):
-    """(runs, tasks, tasks) accuracy array -> Avg_End_Acc, Avg_End_Fgt."""
+    """(runs, tasks, tasks) accuracy array -> Avg_End_Acc, Avg_End_Fgt.
+    (Kept for tests/test_reference_parity.py.)"""
     from ocl_tpu.experiment.metrics import compute_performance
 
     arr = np.stack(acc_runs)
@@ -162,9 +283,34 @@ def summarize(acc_runs):
     return float(end_acc), float(end_fgt)
 
 
+def paired_stats(ref_mats, ocl_mats):
+    """Per-seed paired end-acc / fgt / peak deltas with 95% t-CIs."""
+    def decomp(mat):
+        peak = mat.max(axis=0).mean()
+        end = mat[-1].mean()
+        return end, peak - end, peak
+
+    ref = np.array([decomp(m) for m in ref_mats])   # (n, 3)
+    ocl = np.array([decomp(m) for m in ocl_mats])
+    d = ocl - ref
+    out = dict(seeds=len(ref_mats))
+    for j, key in enumerate(("acc", "fgt", "peak")):
+        out["ref_" + key] = float(ref[:, j].mean())
+        out["ocl_" + key] = float(ocl[:, j].mean())
+        m, h = _t_ci95(d[:, j])
+        out["d_" + key] = m
+        out["d_{}_ci95".format(key)] = h
+    out["per_seed_d_acc"] = [float(v) for v in d[:, 0]]
+    out["per_seed_d_fgt"] = [float(v) for v in d[:, 1]]
+    return out
+
+
+# -------------------------------------------------------------------- main
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--agents", nargs="+", default=list(AGENT_CONFIGS))
+    ap.add_argument("--agents", nargs="+", default=DEFAULT_SWEEP,
+                    choices=list(AGENT_CONFIGS), metavar="AGENT")
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--per_class", type=int, default=100)
     ap.add_argument("--difficulty", type=float, default=0.85)
@@ -176,77 +322,76 @@ def main():
     ap.add_argument("--nf", type=int, default=20)
     ap.add_argument("--cpu", action="store_true",
                     help="force the ocl_tpu side onto CPU too")
+    ap.add_argument("--ref_only", action="store_true",
+                    help="compute/cache only the torch side (no JAX backend "
+                         "use; safe to run while the TPU is busy)")
     ap.add_argument("--out", default=os.path.join(REPO, "PARITY_RESULTS.md"))
     ap.add_argument("--json_out", default=os.path.join(REPO, "parity_results.json"))
     args = ap.parse_args()
 
-    from ocl_tpu.config import apply_platform_env
+    if not args.ref_only:
+        from ocl_tpu.config import apply_platform_env
 
-    if args.cpu:
-        os.environ["JAX_PLATFORMS"] = "cpu"
-    apply_platform_env()
+        if args.cpu:
+            os.environ["JAX_PLATFORMS"] = "cpu"
+        apply_platform_env()
 
     if "CNDPM" in args.agents:
         _patch_cndpm_constants()
 
-    # merge with prior invocations (e.g. a follow-up --agents CNDPM run)
     results = {}
     if os.path.exists(args.json_out):
         try:
             with open(args.json_out) as f:
                 prior = json.load(f)
-            if prior.get("args", {}).get("per_class") == args.per_class and \
-                    prior.get("args", {}).get("seeds") == args.seeds:
-                results = prior.get("results", {})
+            if prior.get("args", {}).get("per_class") == args.per_class:
+                # only rows in the current (CI-bearing) schema survive merge
+                results = {k: v for k, v in prior.get("results", {}).items()
+                           if "d_acc_ci95" in v}
         except Exception:
             pass
+
+    stream_cache = {}
     for name in args.agents:
         cfg = AGENT_CONFIGS[name]
-        ref_rows, ocl_rows = [], []
         t0 = time.time()
+        ref_mats, ocl_mats = [], []
         for seed in range(args.seeds):
-            tasks, tests = make_stream(seed + 1, args.per_class,
-                                       args.difficulty, args.num_tasks)
-            t_ref = time.time()
-            ref_rows.append(run_ref_side(cfg, tasks, tests, seed, args))
-            t_mid = time.time()
-            ocl_rows.append(run_ocl_side(cfg, tasks, tests, seed, args))
-            print(f"[{name} seed {seed}] ref {t_mid - t_ref:.0f}s "
-                  f"ocl {time.time() - t_mid:.0f}s "
-                  f"end_acc ref {ref_rows[-1][-1].mean():.3f} "
-                  f"ocl {ocl_rows[-1][-1].mean():.3f}", flush=True)
-            # per-seed crash/timeout insurance: raw accuracy matrices
-            np.save(f"/tmp/parity_{name}_seed{seed}_ref.npy", ref_rows[-1])
-            np.save(f"/tmp/parity_{name}_seed{seed}_ocl.npy", ocl_rows[-1])
-        ref_acc, ref_fgt = summarize(ref_rows)
-        ocl_acc, ocl_fgt = summarize(ocl_rows)
-        results[name] = dict(
-            ref_acc=ref_acc, ocl_acc=ocl_acc, d_acc=ocl_acc - ref_acc,
-            ref_fgt=ref_fgt, ocl_fgt=ocl_fgt, d_fgt=ocl_fgt - ref_fgt,
-            seconds=round(time.time() - t0, 1))
-        print(f"[{name}] ref acc {ref_acc:.3f} ocl acc {ocl_acc:.3f} "
-              f"delta {ocl_acc - ref_acc:+.3f}", flush=True)
+            ref_mats.append(get_side("ref", name, cfg, seed, args,
+                                     stream_cache)[0])
+            if not args.ref_only:
+                ocl_mats.append(get_side("ocl", name, cfg, seed, args,
+                                         stream_cache)[0])
+        if args.ref_only:
+            print("[{}] ref cache warm ({} seeds)".format(name, args.seeds),
+                  flush=True)
+            continue
+        row = paired_stats(ref_mats, ocl_mats)
+        row["seconds"] = round(time.time() - t0, 1)
+        results[name] = row
+        print("[{}] dacc {:+.3f}±{:.3f} dfgt {:+.3f}±{:.3f} "
+              "dpeak {:+.3f}±{:.3f} ({} seeds)".format(
+                  name, row["d_acc"], row["d_acc_ci95"], row["d_fgt"],
+                  row["d_fgt_ci95"], row["d_peak"], row["d_peak_ci95"],
+                  row["seeds"]), flush=True)
         with open(args.json_out, "w") as f:
             json.dump(dict(args=vars(args), results=results), f, indent=1)
 
-    write_report(args, results)
+    if not args.ref_only:
+        write_report(args, results)
 
 
-APPENDIX_5SEED = """
-## 5-seed stability checks (side runs, /tmp/parity5*.json)
-
-The larger 3-seed Δfgt rows re-measured over 5 seeds (same shapes):
-
-| Agent | Δacc (5 seeds) | Δfgt (5 seeds) | vs 3-seed Δfgt |
-|---|---|---|---|
-| ER | +0.016 | +0.080 | +0.069 |
-| ICARL | +0.033 | +0.036 | +0.085 |
-| GDUMB | -0.024 | +0.032 | +0.032 |
-
-Acc deltas flip sign seed-to-seed (noise); the residual positive fgt
-deltas co-occur with equal-or-higher ocl end accuracy — the peak-height
-artifact described above, not a retention gap.
-"""
+def _band_verdict(row):
+    """Against the ±1 pt north star: does the Δacc CI touch [-0.01, +0.01]?"""
+    m, h = row["d_acc"], row["d_acc_ci95"]
+    if np.isnan(h):
+        return "n=1"
+    lo, hi = m - h, m + h
+    if -0.01 <= m <= 0.01:
+        return "pass"
+    if lo <= 0.01 and hi >= -0.01:
+        return "pass (CI)"
+    return "FAIL"
 
 
 def write_report(args, results):
@@ -258,17 +403,39 @@ def write_report(args, results):
         "CPU) and ocl_tpu trained on identical synthetic class-incremental",
         f"streams ({args.num_tasks} tasks, {args.per_class}/class,",
         f"difficulty {args.difficulty}, mem {args.mem_size}, lr {args.lr},",
-        f"nf {args.nf}, {args.seeds} seeds). Metrics via the bit-compatible",
+        "nf {}). Runs are seed-paired; Δ columns are the mean per-seed".format(args.nf),
+        "delta ± its 95% t-interval. Metrics via the bit-compatible",
         "`compute_performance` (reference experiment/metrics.py:5-44).",
+        "Verdict: 'pass' = |mean Δacc| ≤ 0.01 (the ±1 pt north star);",
+        "'pass (CI)' = the CI overlaps the ±1 pt band.",
         "",
-        "| Agent | ref Avg_End_Acc | ocl Avg_End_Acc | Δacc | ref Avg_End_Fgt | ocl Avg_End_Fgt | Δfgt |",
-        "|---|---|---|---|---|---|---|",
+        "| Agent | n | ref acc | ocl acc | Δacc ± CI | ref fgt | ocl fgt | Δfgt ± CI | verdict |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for name, r in results.items():
         lines.append(
-            "| {} | {:.3f} | {:.3f} | {:+.3f} | {:.3f} | {:.3f} | {:+.3f} |".format(
-                name, r["ref_acc"], r["ocl_acc"], r["d_acc"],
-                r["ref_fgt"], r["ocl_fgt"], r["d_fgt"]))
+            "| {} | {} | {:.3f} | {:.3f} | {:+.3f} ± {:.3f} | {:.3f} | {:.3f} "
+            "| {:+.3f} ± {:.3f} | {} |".format(
+                name, r["seeds"], r["ref_acc"], r["ocl_acc"], r["d_acc"],
+                r["d_acc_ci95"], r["ref_fgt"], r["ocl_fgt"], r["d_fgt"],
+                r["d_fgt_ci95"], _band_verdict(r)))
+    lines += [
+        "",
+        "## Peak-vs-end decomposition (the Δfgt anatomy)",
+        "",
+        "Avg_End_Fgt = mean over tasks of (peak accuracy − end accuracy)",
+        "(reference experiment/metrics.py:49-54), so identically",
+        "Δfgt = Δpeak − Δacc. A positive Δfgt at Δacc ≥ 0 with Δpeak > 0 is a",
+        "peak-height artifact (ocl peaks higher per task), not retention loss.",
+        "",
+        "| Agent | ref peak | ocl peak | Δpeak ± CI | Δacc (end) | Δfgt |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, r in results.items():
+        lines.append(
+            "| {} | {:.3f} | {:.3f} | {:+.3f} ± {:.3f} | {:+.3f} | {:+.3f} |".format(
+                name, r["ref_peak"], r["ocl_peak"], r["d_peak"],
+                r["d_peak_ci95"], r["d_acc"], r["d_fgt"]))
     lines += [
         "",
         "Positive Δacc = ocl_tpu higher. Stochastic trajectories differ by",
@@ -278,18 +445,17 @@ def write_report(args, results):
         "distributional, not exact.",
         "CNDPM runs both frameworks with sleep budgets shrunk identically to",
         f"{CNDPM_SLEEP_G}/{CNDPM_SLEEP_D} steps (from 4000/1000) and",
-        "stm_capacity 200 to fit the torch-CPU oracle budget.",
+        "stm_capacity 200 to fit the torch-CPU oracle budget",
+        "(tools/cndpm_full_budget.py runs the full 4000/1000 budget on TPU).",
         "ER_FUSED / SCR_FUSED / ER_BF16 are ocl-only modes compared against",
         "the plain reference ER / SCR (they validate the fused and bf16",
         "fast paths against the reference's exact schedule).",
-        "Fgt deltas read with the acc deltas: Avg_End_Fgt = per-task peak",
-        "minus final accuracy, so a framework that peaks higher on each task",
-        "shows higher 'forgetting' at equal-or-better end accuracy (e.g. ER",
-        "over 5 seeds: Δacc +0.016, Δfgt +0.08 — a peak-height artifact,",
-        "not worse retention).",
+        "ER_LABELS / ER_KD / SCR_REVIEW are trick-combination rows",
+        "(labels_trick, kd_trick, and the CVPR SCR recipe with review_trick).",
+        "ICARL_NOEXCL / ICARL_EVALBN / ICARL_ZEROMEAN are ocl-side ablations",
+        "compared against the same reference ICARL runs (PARITY.md §iCaRL).",
         "",
     ]
-    lines += APPENDIX_5SEED.splitlines()
     with open(args.out, "w") as f:
         f.write("\n".join(lines))
     print("wrote", args.out)
