@@ -270,6 +270,27 @@ def merge_yaml_params(*yaml_dicts, **extra) -> SimpleNamespace:
     return finalize(SimpleNamespace(**merged))
 
 
+def host_cache_dir(name: str) -> str:
+    """~/.cache/<name>-<cpu fingerprint>: XLA:CPU AOT cache entries bake in
+    the compile host's CPU features, and reusing a cache written on a
+    different machine silently changes fp-contraction numerics (and risks
+    SIGILL) — so the persistent cache is keyed per CPU feature set."""
+    import hashlib
+
+    fp = "unknown"
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    fp = hashlib.md5(
+                        " ".join(sorted(line.split()[2:])).encode()
+                    ).hexdigest()[:10]
+                    break
+    except OSError:
+        pass
+    return os.path.expanduser("~/.cache/{}-{}".format(name, fp))
+
+
 def apply_platform_env():
     """Honor JAX_PLATFORMS even when a sitecustomize plugin force-set
     jax_platforms after import (this image's axon register() does): re-apply
@@ -283,8 +304,7 @@ def apply_platform_env():
     want = os.environ.get("JAX_PLATFORMS")
     if want:
         jax.config.update("jax_platforms", want)
-    cache_dir = os.environ.get("OCL_TPU_CACHE",
-                               os.path.expanduser("~/.cache/ocl_tpu_xla"))
+    cache_dir = os.environ.get("OCL_TPU_CACHE", host_cache_dir("ocl_tpu_xla"))
     if cache_dir != "off":
         try:
             jax.config.update("jax_compilation_cache_dir", cache_dir)

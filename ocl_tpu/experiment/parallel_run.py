@@ -118,7 +118,9 @@ def multiple_run_parallel(params, store=False, save_path=None):
     stream_images = 0
     t_train = 0.0
     for t in range(n_tasks):
-        ctxs, xs_all, ys_all = [], [], []
+        ctxs, xs_all, ys_all, new_rngs = [], [], [], []
+        rng_stack = np.asarray(state.rng)  # [R, key] per-run rng lanes
+        epochs = max(1, int(getattr(params, "epoch", 1)))
         for r in range(n_runs):
             x, y, labels = runs_tasks[r][t]
             new = sorted(set(int(v) for v in np.asarray(y).reshape(-1)))
@@ -129,14 +131,24 @@ def multiple_run_parallel(params, store=False, save_path=None):
             ctxs.append(TaskCtx(old_mask=jnp.asarray(old_mask),
                                 new_mask=jnp.asarray(new_mask),
                                 task_seen=jnp.asarray(t, jnp.int32)))
-            sub = jax.random.fold_in(jax.random.PRNGKey(params.seed + r), t)
-            perm = np.asarray(jax.random.permutation(sub, x.shape[0]))
+            # identical shuffle derivation to the sequential runner
+            # (agents/base.py batchify): split the run's live rng lane, fold
+            # in the epoch — seed-paired runs reproduce multiple_run exactly
+            rng_r, shuffle_rng = jax.random.split(rng_stack[r])
+            new_rngs.append(rng_r)
             nb = x.shape[0] // params.batch
-            xs_all.append(np.asarray(x)[perm][: nb * params.batch].reshape(
-                nb, params.batch, *x.shape[1:]))
-            ys_all.append(np.asarray(y)[perm][: nb * params.batch].reshape(
-                nb, params.batch).astype(np.int32))
+            xs_r, ys_r = [], []
+            for ep in range(epochs):
+                perm = np.asarray(jax.random.permutation(
+                    jax.random.fold_in(shuffle_rng, ep), x.shape[0]))
+                xs_r.append(np.asarray(x)[perm][: nb * params.batch].reshape(
+                    nb, params.batch, *x.shape[1:]))
+                ys_r.append(np.asarray(y)[perm][: nb * params.batch].reshape(
+                    nb, params.batch).astype(np.int32))
+            xs_all.append(np.concatenate(xs_r))
+            ys_all.append(np.concatenate(ys_r))
             old_labels[r].update(new)
+        state = state.replace(rng=jnp.stack(new_rngs))
         ctx = _stack(ctxs)
         xs = jnp.asarray(np.stack(xs_all), jnp.float32)
         ys = jnp.asarray(np.stack(ys_all))
@@ -160,6 +172,20 @@ def multiple_run_parallel(params, store=False, save_path=None):
             print("task {}: acc {}".format(t, acc[:, t, : t + 1].mean(axis=0)))
 
     end = time.time()
+    if store:
+        import os
+        import pickle
+
+        from ocl_tpu.utils.io import load_yaml
+
+        result_path = load_yaml("config/global.yml", key="path")["result"]
+        table_path = result_path + params.data
+        os.makedirs(table_path, exist_ok=True)
+        if not save_path:
+            save_path = getattr(params, "model_name", params.agent) + "_" + \
+                getattr(params, "data_name", params.data) + ".pkl"
+        with open(table_path + "/" + save_path, "wb") as f:
+            pickle.dump({"time": end - start, "acc_array": acc}, f)
     avg_end_acc, avg_end_fgt, avg_acc, avg_bwtp, avg_fwt = compute_performance(acc)
     print("----------- Total {} run: {}s -----------".format(n_runs, end - start))
     print("----------- aggregate stream throughput {:.1f} images/sec "

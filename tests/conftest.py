@@ -23,7 +23,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compilation cache: repeat suite runs skip the big scan compiles
+# persistent compilation cache: repeat suite runs skip the big scan compiles.
+# The dir is keyed by the host CPU fingerprint: XLA:CPU AOT cache entries
+# embed the compile machine's features, and loading a cache written on a
+# different host silently changes codegen/fp-contraction numerics (seen as
+# cpu_aot_loader feature-mismatch warnings + divergent equivalence tests).
+from ocl_tpu.config import host_cache_dir  # noqa: E402
+
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/ocl_tpu_xla_tests"))
+                  host_cache_dir("ocl_tpu_xla_tests"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
