@@ -206,16 +206,42 @@ def bench_ncm_eval(n_batches=40, test_batch=128):
               g.randint(0, 10, n))]
     loaders = prepare_test_loaders(tests, p)
     agent.evaluate(state, loaders)  # compile
+    flops = None
+    try:
+        from ocl_tpu.utils.flops import estimate_fn_flops
+
+        means_fn, eval_fn = agent._eval_cache["ncm"]
+        import jax.numpy as jnp
+
+        buf = state.buffer
+        from ocl_tpu.buffer.state import valid_mask
+        from ocl_tpu.models import feature_dim_for
+
+        noise = jnp.zeros((10, feature_dim_for(p.data, 20)))
+        flops = estimate_fn_flops(
+            means_fn, state.params, state.batch_stats, buf.imgs, buf.labels,
+            valid_mask(buf), noise)
+        means = means_fn(state.params, state.batch_stats, buf.imgs,
+                         buf.labels, valid_mask(buf), noise)
+        seen = jnp.ones((10,), bool)
+        for x, y, m in loaders:
+            flops += estimate_fn_flops(eval_fn, state.params,
+                                       state.batch_stats, means, seen, x, y, m)
+    except Exception:
+        pass
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
         agent.evaluate(state, loaders)
         best = min(best, time.time() - t0)
-    return {
+    row = {
         "metric": "ncm_eval_throughput",
         "value": round(n / best, 1),
         "unit": "images/sec",
+        "step_ms": round(best * 1e3, 3),  # one full eval sweep
+        "flops_per_step": flops,  # exemplar means + all test batches
     }
+    return add_mfu(row)
 
 
 def main():
