@@ -285,10 +285,13 @@ def main():
     emit(lambda: bench_stream_agent(
         "er_mir_stream_throughput", 300, agent="ER", retrieve="MIR",
         subsample=50, mem_size=1000, batch=10, eps_mem_batch=10), "er_mir")
+    # cond_mode min: the gradient bank + per-sample scoring live inside the
+    # data-dependent replace branch (buffer/gss.py jvp gate); min counts the
+    # always-executed gate path, so GSS MFU errs low like CN-DPM's
     emit(lambda: bench_stream_agent(
         "er_gss_stream_throughput", 200, agent="ER", update="GSS",
         gss_batch_size=10, gss_mem_strength=10, mem_size=1000, batch=10,
-        eps_mem_batch=10), "er_gss")
+        eps_mem_batch=10, flops_cond_mode="min"), "er_gss")
     emit(lambda: bench_stream_agent(
         "aser_asvm_stream_throughput", 200, agent="ER", update="ASER",
         retrieve="ASER", aser_type="asvm", k=5, n_smp_cls=2.0, mem_size=1000,

@@ -8,6 +8,17 @@ step. Model runs in eval mode during scoring (the reference calls
 model.eval(), :16), so BN uses running statistics and per-sample gradients
 are exact.
 
+The replacement gate (reference :25, ``batch_sim < 0``) only needs the SIGN
+of max_i cos(bank_i, batch_grad), which equals the sign of
+max_i <grad(L_i), batch_grad> — and those dot products are directional
+derivatives, computable with ONE forward-mode `jax.jvp` of the per-bank-batch
+loss vector in the batch-grad direction, without materializing the
+[strength, D] gradient bank at all. The bank (the dominant cost: XLA lowers
+the shared-weight vmap(grad) to per-group weight-grad convolutions, measured
+~4x its pure-compute bound — docs/PERFORMANCE.md) is materialized only
+inside the replace branch of a `lax.cond`, mirroring the reference's own
+`if batch_sim < 0` control flow, so non-replacing steps skip it entirely.
+
 Replacement semantics match the reference's actual behaviour: candidate slots
 are drawn ∝ normalized buffer score (:27-31), and a slot is replaced with
 probability b/(s+b) where s=(item_sim+1)/2, b=(slot_score+1)/2 — i.e. the
@@ -45,15 +56,27 @@ def build_gss_update(agent):
         g = jax.grad(ce_eval)(p, stats, x, y, mask)
         return ravel_pytree(g)[0]
 
-    def mem_grad_bank(p, stats, buf, rng):
-        """[strength, D] gradients of random memory batches + row validity."""
+    def sample_bank_batches(buf, rng):
+        """The strength random memory batches the bank is built from."""
         idx, elem_mask = sample_slots(rng, valid_mask(buf), strength * gss_bsz)
         xs = buf.imgs[idx].reshape(strength, gss_bsz, *buf.imgs.shape[1:])
         ys = buf.labels[idx].reshape(strength, gss_bsz)
         ms = elem_mask.reshape(strength, gss_bsz)
-        grads = jax.vmap(lambda x, y, m: flat_grad(p, stats, x, y, m))(xs, ys, ms)
-        row_valid = jnp.any(ms, axis=1)
-        return grads, row_valid
+        return xs, ys, ms, jnp.any(ms, axis=1)
+
+    def mem_grad_bank(p, stats, xs, ys, ms):
+        """[strength, D] gradients of the sampled memory batches."""
+        return jax.vmap(lambda x, y, m: flat_grad(p, stats, x, y, m))(xs, ys, ms)
+
+    def bank_dots(p, stats, xs, ys, ms, direction):
+        """<grad(L_i), direction> for each bank batch i, via one jvp
+        (direction is a params-structured pytree)."""
+        def losses(pp):
+            return jax.vmap(lambda x, y, m: ce_eval(pp, stats, x, y, m))(
+                xs, ys, ms)
+
+        _, dots = jax.jvp(losses, (p,), (direction,))
+        return dots
 
     def per_sample_sims(p, stats, bank, row_valid, x, y):
         """max over bank rows of cosine(bank, grad(sample_i)) -> [B]."""
@@ -68,12 +91,14 @@ def build_gss_update(agent):
         r_bank, r_cand, r_coin = jax.random.split(rng, 3)
 
         def full_branch(buf):
-            bank, row_valid = mem_grad_bank(p, stats, buf, r_bank)
-            bgrad = flat_grad(p, stats, x, y)
-            batch_sim = jnp.max(jnp.where(
-                row_valid, _cosine_rows(bank, bgrad[None, :])[:, 0], NEG_INF))
+            xs, ys, ms, row_valid = sample_bank_batches(buf, r_bank)
+            bgrad_tree = jax.grad(ce_eval)(p, stats, x, y)
+            # sign(max cosine) == sign(max dot): the gate needs no bank
+            dots = bank_dots(p, stats, xs, ys, ms, bgrad_tree)
+            batch_sim = jnp.max(jnp.where(row_valid, dots, NEG_INF))
 
             def do_replace(buf):
+                bank = mem_grad_bank(p, stats, xs, ys, ms)
                 score = buf.score
                 w = (score - jnp.min(score)) / (jnp.max(score) - jnp.min(score) + 0.01)
                 # weighted sample w/o replacement via Gumbel-top-k on log w
@@ -95,7 +120,8 @@ def build_gss_update(agent):
             offset = jnp.minimum(mem - cur, batch)
 
             def scored(_):
-                bank, row_valid = mem_grad_bank(p, stats, buf, r_bank)
+                xs, ys, ms, row_valid = sample_bank_batches(buf, r_bank)
+                bank = mem_grad_bank(p, stats, xs, ys, ms)
                 return per_sample_sims(p, stats, bank, row_valid, x, y)
 
             scores = jax.lax.cond(cur == 0,
@@ -110,4 +136,10 @@ def build_gss_update(agent):
         new_buf = jax.lax.cond(buf.current_index >= mem, full_branch, fill_branch, buf)
         return new_buf, jnp.full((batch,), -1)
 
+    # internals exposed for the gate-equivalence test (test_strategies.py)
+    update.sample_bank_batches = sample_bank_batches
+    update.mem_grad_bank = mem_grad_bank
+    update.bank_dots = bank_dots
+    update.flat_grad = flat_grad
+    update.ce_eval = ce_eval
     return update

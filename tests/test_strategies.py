@@ -51,6 +51,48 @@ def test_gss_scores_populated():
     assert (np.abs(scores) <= 1.0 + 1e-5).all()
 
 
+def test_gss_jvp_gate_matches_materialized_bank():
+    """The replace gate uses jvp dot products instead of materializing the
+    gradient bank; each dot must equal <bank_i, batch_grad> and the gate
+    sign must match the reference's max-cosine sign
+    (reference gss_greedy_update.py:25,65-80)."""
+    import jax.numpy as jnp
+
+    from ocl_tpu.buffer.gss import _cosine_rows, build_gss_update
+
+    p = default_params(data="synthetic", agent="ER", update="GSS", mem_size=40,
+                       eps_mem_batch=10, verbose=False, nf=4,
+                       gss_mem_strength=3, gss_batch_size=10)
+    agent = agents[p.agent](p)
+    state = agent.init_state(jax.random.PRNGKey(0))
+    upd = build_gss_update(agent)
+
+    g = np.random.RandomState(1)
+    x = jnp.asarray(g.rand(10, 32, 32, 3), jnp.float32)
+    y = jnp.asarray(g.randint(0, 4, 10), jnp.int32)
+    # fill the buffer so bank batches are fully valid
+    buf = state.buffer
+    for i in range(4):
+        buf, _ = upd(state.params, state.batch_stats, buf,
+                     jnp.asarray(g.rand(10, 32, 32, 3), jnp.float32),
+                     jnp.asarray(g.randint(0, 4, 10), jnp.int32),
+                     jax.random.PRNGKey(i))
+
+    r_bank = jax.random.PRNGKey(99)
+    xs, ys, ms, row_valid = upd.sample_bank_batches(buf, r_bank)
+    bgrad_tree = jax.grad(upd.ce_eval)(state.params, state.batch_stats, x, y)
+    dots = np.asarray(upd.bank_dots(state.params, state.batch_stats,
+                                    xs, ys, ms, bgrad_tree))
+    bank = np.asarray(upd.mem_grad_bank(state.params, state.batch_stats,
+                                        xs, ys, ms))
+    bflat = np.asarray(upd.flat_grad(state.params, state.batch_stats, x, y))
+    explicit = bank @ bflat
+    np.testing.assert_allclose(dots, explicit, rtol=2e-3, atol=1e-6)
+    cos_max = float(np.max(np.asarray(
+        _cosine_rows(jnp.asarray(bank), jnp.asarray(bflat)[None, :])[:, 0])))
+    assert (float(np.max(dots)) < 0) == (cos_max < 0)
+
+
 def test_aser_update_keeps_buffer_consistent():
     p = default_params(data="synthetic", agent="ER", retrieve="ASER", update="ASER",
                        mem_size=40, eps_mem_batch=10, verbose=False, nf=4,
