@@ -63,3 +63,12 @@ def test_ewc_parity():
 def test_agem_parity():
     ref_acc, ocl_acc = _compare(dict(agent="AGEM", update="random", retrieve="random"))
     assert abs(ref_acc - ocl_acc) < 0.05, (ref_acc, ocl_acc)
+
+
+def test_gss_parity():
+    """Guards the jvp-gated GSS update (buffer/gss.py) against the
+    reference's per-sample-backward implementation."""
+    ref_acc, ocl_acc = _compare(
+        dict(agent="ER", update="GSS", retrieve="random",
+             gss_mem_strength=3, gss_batch_size=10, fused_replay=False))
+    assert abs(ref_acc - ocl_acc) < 0.05, (ref_acc, ocl_acc)
