@@ -75,6 +75,11 @@ AGENT_CONFIGS = {
                        head="mlp", temp=0.1, eps_mem_batch=100,
                        learning_rate=0.1, review_trick=True,
                        fused_replay=False),
+    # review-pass mechanics in isolation (CE loss, no augs/SupCon):
+    # localizes SCR_REVIEW's residual between the shared review-pass
+    # machinery and the contrastive/augmentation coupling
+    "ER_REVIEW": dict(agent="ER", update="random", retrieve="random",
+                      fused_replay=False, review_trick=True),
     # ocl-only variant: the (default) fused two-view forward vs the
     # reference's two sequential passes — validates the SCR fusion.
     "SCR_FUSED": dict(agent="SCR", update="random", retrieve="random",
