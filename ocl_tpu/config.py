@@ -193,6 +193,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="debug mode: enable jax_debug_nans and raise "
                              "FloatingPointError on any non-finite task loss "
                              "(SURVEY.md §5.2 sanitizer replacement)")
+    parser.add_argument("--matmul_precision", dest="matmul_precision",
+                        default="default",
+                        choices=["default", "high", "highest"],
+                        help="XLA precision for f32 convs/matmuls: 'default' "
+                             "uses fast truncated-mantissa MXU passes; "
+                             "'highest' is f32-exact (multi-pass) — the "
+                             "exact-parity arithmetic mode (PARITY.md "
+                             "arithmetic ablation). Ignored under "
+                             "--compute_dtype bf16.")
     return parser
 
 
@@ -207,6 +216,18 @@ def maybe_enable_debug_nans(params) -> None:
         import jax
 
         jax.config.update("jax_debug_nans", True)
+
+
+def apply_runtime_flags(params) -> None:
+    """Apply process-global JAX flags derived from params (--debug_nans,
+    --matmul_precision). Called by the runner entry points before any
+    program is traced."""
+    maybe_enable_debug_nans(params)
+    prec = getattr(params, "matmul_precision", "default")
+    if prec and prec != "default":
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", prec)
 
 
 def finalize(params: SimpleNamespace) -> SimpleNamespace:
@@ -279,13 +300,25 @@ def host_cache_dir(name: str) -> str:
 
     fp = "unknown"
     try:
+        parts = []
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    fp = hashlib.md5(
-                        " ".join(sorted(line.split()[2:])).encode()
-                    ).hexdigest()[:10]
+                key = line.split(":")[0].strip()
+                # flags alone are not enough: LLVM tuning attributes (e.g.
+                # prefer-no-gather) derive from the CPU *model*, so two hosts
+                # with identical flags can still produce differently-tuned
+                # AOT code. (Note the cpu_aot_loader "feature not supported"
+                # warning is NOT a reliable contamination signal: it fires
+                # even when reloading an entry this same host wrote, because
+                # the loader compares LLVM target attrs against a
+                # cpuid-derived list that lacks tuning prefs.)
+                if key in ("vendor_id", "cpu family", "model", "stepping",
+                           "model name", "flags"):
+                    parts.append(" ".join(sorted(line.split(":")[1].split())))
+                if key == "power management":  # end of first CPU block
                     break
+        if parts:
+            fp = hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
     except OSError:
         pass
     return os.path.expanduser("~/.cache/{}-{}".format(name, fp))

@@ -49,9 +49,9 @@ def _check_buffer_tracker(state):
 
 
 def multiple_run(params, store=False, save_path=None):
-    from ocl_tpu.config import maybe_enable_debug_nans
+    from ocl_tpu.config import apply_runtime_flags
 
-    maybe_enable_debug_nans(params)
+    apply_runtime_flags(params)
     start = time.time()
     print("Setting up data stream")
     data_continuum = continuum(params.data, params.cl_type, params)

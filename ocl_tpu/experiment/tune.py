@@ -150,6 +150,9 @@ def single_tune_train_val(data_continuum, default_params, tune_params,
 
 def multiple_run_tune_separate(default_params, tune_params, save_path):
     """Reference experiment/run.py:180-236."""
+    from ocl_tpu.config import apply_runtime_flags
+
+    apply_runtime_flags(default_params)
     start = time.time()
     print("Setting up data stream")
     data_continuum = continuum(default_params.data, default_params.cl_type,
@@ -215,7 +218,9 @@ def multiple_run_tune(default_params, tune_params, save_path):
 
     from ocl_tpu.experiment.metrics import single_run_avg_end_fgt
     from ocl_tpu.utils.io import save_dataframe_csv
+    from ocl_tpu.config import apply_runtime_flags
 
+    apply_runtime_flags(default_params)
     start = time.time()
     print("Setting up data stream")
     data_continuum = continuum(default_params.data, default_params.cl_type,

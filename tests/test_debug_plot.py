@@ -23,6 +23,24 @@ def test_debug_nans_raises_on_nan_input():
         agent.train_learner(state, x, y)
 
 
+def test_matmul_precision_flag_applies():
+    """--matmul_precision highest flips JAX's global default precision (the
+    exact-parity arithmetic mode, PARITY.md arithmetic ablation)."""
+    import jax
+
+    from ocl_tpu.config import apply_runtime_flags
+
+    prev = jax.config.jax_default_matmul_precision
+    params = default_params(
+        data="synthetic", agent="ER", matmul_precision="highest",
+        verbose=False)
+    try:
+        apply_runtime_flags(params)
+        assert jax.config.jax_default_matmul_precision == "highest"
+    finally:
+        jax.config.update("jax_default_matmul_precision", prev)
+
+
 def test_plot_sample_writes_png(tmp_path):
     from ocl_tpu.data.non_stationary import make_ns, plot_ns_samples
 
