@@ -41,18 +41,36 @@ def crop_resize(img, y0, x0, h, w):
     return bilinear_sample(img, ys, xs)
 
 
-def random_resized_crop(rng, x, scale=(0.2, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0)):
-    """Per-sample random area/aspect crop, resized to the input size."""
+def random_resized_crop(rng, x, scale=(0.2, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0),
+                        tries=10):
+    """Per-sample random area/aspect crop, resized to the input size.
+
+    Matches torchvision/kornia crop-geometry semantics (the reference's
+    RandomResizedCrop, agents/scr.py:18-24): 10-try REJECTION sampling of
+    (area, log-ratio) with whole-image fallback, and integer box sizes and
+    offsets. Rejection, not clipping: clipping oversized boxes to the image
+    biases ~10-15%% of crops larger (milder augmentation) at the SCR scale
+    range — a measurable distribution shift (tools/probe_aug_parity.py).
+    Vectorized: all `tries` candidates are sampled at once and the first
+    valid one is selected per sample."""
     B, H, W, _ = x.shape
-    r_area, r_ratio, r_y, r_x = jax.random.split(rng, 4)
-    area = jax.random.uniform(r_area, (B,), minval=scale[0], maxval=scale[1]) * H * W
-    log_r = jax.random.uniform(r_ratio, (B,),
+    r_box, r_y, r_x = jax.random.split(rng, 3)
+    area = jax.random.uniform(r_box, (B, tries),
+                              minval=scale[0], maxval=scale[1]) * H * W
+    log_r = jax.random.uniform(jax.random.fold_in(r_box, 1), (B, tries),
                                minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1]))
     r = jnp.exp(log_r)
-    w = jnp.clip(jnp.round(jnp.sqrt(area * r)), 1, W)
-    h = jnp.clip(jnp.round(jnp.sqrt(area / r)), 1, H)
-    y0 = jax.random.uniform(r_y, (B,)) * (H - h)
-    x0 = jax.random.uniform(r_x, (B,)) * (W - w)
+    w_c = jnp.round(jnp.sqrt(area * r))
+    h_c = jnp.round(jnp.sqrt(area / r))
+    valid = (w_c >= 1) & (w_c <= W) & (h_c >= 1) & (h_c <= H)
+    first = jnp.argmax(valid, axis=1)
+    any_valid = jnp.any(valid, axis=1)
+    rows = jnp.arange(B)
+    w = jnp.where(any_valid, w_c[rows, first], W)
+    h = jnp.where(any_valid, h_c[rows, first], H)
+    # integer offsets, uniform over [0, H-h] (torch randint semantics)
+    y0 = jnp.floor(jax.random.uniform(r_y, (B,)) * (H - h + 1))
+    x0 = jnp.floor(jax.random.uniform(r_x, (B,)) * (W - w + 1))
     return jax.vmap(crop_resize)(x, y0, x0, h, w)
 
 
