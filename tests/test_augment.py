@@ -33,6 +33,43 @@ def test_random_resized_crop_range_and_shape():
     assert changed > 0.9
 
 
+def test_random_resized_crop_matches_torch_geometry_law():
+    """The crop-box law is torchvision/kornia's 10-try REJECTION sampling,
+    not clipping (PARITY.md: the clip law biased crops ~7% larger in area
+    and produced 2.5x the full-width rate, enough to move the SCR_REVIEW
+    parity row out of the +/-1pt band). Pin the geometry distribution via
+    constant images: a crop of a constant image is constant, so the output
+    equals the input iff geometry doesn't matter — instead recover the box
+    from structured inputs."""
+    import jax.numpy as jnp
+
+    B, H = 4096, 32
+    # encode column index in the red channel, row index in green
+    col = jnp.tile(jnp.arange(H, dtype=jnp.float32)[None, :], (H, 1)) / (H - 1)
+    row = col.T
+    x = jnp.stack([col, row, jnp.zeros_like(col)], -1)[None].repeat(B, 0)
+    out = np.asarray(augment.random_resized_crop(jax.random.PRNGKey(7), x))
+    # linear-in-index channels survive bilinear resize: the output corner
+    # values recover the crop box edges
+    x0 = out[:, 0, 0, 0] * (H - 1)
+    x1 = out[:, 0, -1, 0] * (H - 1)
+    y0 = out[:, 0, 0, 1] * (H - 1)
+    y1 = out[:, -1, 0, 1] * (H - 1)
+    w = x1 - x0
+    h = y1 - y0
+    area_frac = (w * h) / ((H - 1) * (H - 1))
+    # torchvision law at scale=(0.2,1), ratio=(3/4,4/3) on 32x32 (measured
+    # over 20k samples in tools/probe_aug_parity.py): area fraction
+    # 0.553 +/- 0.206, P(full width) 0.039. The legacy clip law sat at
+    # 0.593 / 0.098 — well outside these bands.
+    assert 0.52 < float(area_frac.mean()) < 0.585
+    full_w = float((w > (H - 2.0)).mean())
+    assert full_w < 0.07
+    # aspect ratio bounded by the sampler's (3/4, 4/3) up to rounding
+    ratio = (w + 1) / (h + 1)
+    assert float(ratio.min()) > 0.65 and float(ratio.max()) < 1.55
+
+
 def test_random_grayscale():
     x = _imgs()
     out = np.asarray(augment.random_grayscale(jax.random.PRNGKey(2), x, p=1.0))

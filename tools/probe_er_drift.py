@@ -14,8 +14,8 @@ torch matrices under arithmetic variants:
   * tpu_default  — as published (cached; DEFAULT precision)
   * tpu_highest  — jax_default_matmul_precision=highest (f32-equivalent
                    multi-pass convs on the MXU)
-  * cpu_f32      — XLA:CPU, exact f32 (run with OCL_DRIFT_CPU=1; slow:
-                   full-width nf=20 CPU compile)
+  * cpu_f32      — XLA:CPU, exact f32 (slow: full-width nf=20 CPU
+                   compile, ~6 min/seed on the 1-core host)
 
 If Delta(acc) collapses toward 0 under tpu_highest/cpu_f32, the drift is
 named: MXU default-precision convs act as a (mildly beneficial) noise
