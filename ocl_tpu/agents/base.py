@@ -373,20 +373,34 @@ class ContinualLearner:
         self.error_list.append((no, nn_, oo, on))
         self.new_class_score.append(new_score.avg())
         self.old_class_score.append(old_score.avg())
+        if "linear" in state.params:
+            # the reference appends unconditionally every eval — an empty
+            # class set yields NaN there (mean of an empty tensor,
+            # reference agents/base.py:219-222); mirror that so the printed
+            # lists line up eval-for-eval
+            kernel = np.asarray(state.params["linear"]["Dense_0"]["kernel"])
+            bias = np.asarray(state.params["linear"]["Dense_0"]["bias"])
+            self.fc_norm_new.append(
+                float(kernel[:, zombie_l].mean()) if zombie_l else float("nan"))
+            self.bias_norm_new.append(
+                float(bias[zombie_l].mean()) if zombie_l else float("nan"))
+            self.fc_norm_old.append(
+                float(kernel[:, old_minus_z].mean()) if old_minus_z else float("nan"))
+            self.bias_norm_old.append(
+                float(bias[old_minus_z].mean()) if old_minus_z else float("nan"))
         if self.verbose:
+            # same lines, same order as the reference console
+            # (agents/base.py:212-226)
             print(accs)
             print("no ratio: {}\non ratio: {}".format(
                 no / (no + nn_ + 0.1), on / (oo + on + 0.1)))
             print(self.error_list)
-        if "linear" in state.params:
-            kernel = np.asarray(state.params["linear"]["Dense_0"]["kernel"])
-            bias = np.asarray(state.params["linear"]["Dense_0"]["bias"])
-            if zombie_l:
-                self.fc_norm_new.append(float(kernel[:, zombie_l].mean()))
-                self.bias_norm_new.append(float(bias[zombie_l].mean()))
-            if old_minus_z:
-                self.fc_norm_old.append(float(kernel[:, old_minus_z].mean()))
-                self.bias_norm_old.append(float(bias[old_minus_z].mean()))
+            print(self.new_class_score)
+            print(self.old_class_score)
+            print(self.fc_norm_old)
+            print(self.fc_norm_new)
+            print(self.bias_norm_old)
+            print(self.bias_norm_new)
         with open("confusion", "wb") as fp:
             pickle.dump([correct_lb, predict_lb], fp)
         return accs
@@ -396,21 +410,44 @@ class ContinualLearner:
 
         The reference runs one forward per buffered image
         (agents/base.py:125-142); here exemplar means are one batched feature
-        sweep + segment-mean.
+        sweep + segment-mean. With --n_devices > 1 the SCR/iCaRL eval path —
+        the O(T²) hot spot (SURVEY.md §3.2) — fans out over the mesh: the
+        exemplar feature sweep shards its chunk rows and the test batches
+        shard like the softmax path; the segment-sum and distance argmin
+        reduce to replicated outputs via XLA SPMD collectives.
         """
         seen_mask = np.zeros(self.n_classes, bool)
         seen_mask[self.old_labels] = True
         seen_mask = jnp.asarray(seen_mask)
 
-        ncm_fns = self._eval_cache.get("ncm")
+        n_dev = int(getattr(self.params, "n_devices", 0) or 0)
+        sharded = n_dev > 1 and len(jax.devices()) >= n_dev
+        cache_key = ("ncm", n_dev if sharded else 1)
+        if sharded:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from ocl_tpu.parallel.mesh import get_mesh, replicated
+
+            mesh = get_mesh(n_dev)
+            rep = replicated(mesh)
+            row_shard = NamedSharding(mesh, PartitionSpec(None, "data"))
+
+        ncm_fns = self._eval_cache.get(cache_key)
         if ncm_fns is None:
-            @jax.jit
             def exemplar_means(params, stats, buf_imgs, buf_labels, buf_valid, noise):
                 chunk = 256
                 n = buf_imgs.shape[0]
                 pad = (-n) % chunk
                 imgs = jnp.pad(buf_imgs, ((0, pad),) + ((0, 0),) * (buf_imgs.ndim - 1))
                 imgs = imgs.reshape(-1, chunk, *buf_imgs.shape[1:])
+                if sharded:
+                    # each scan step's chunk rows spread over the mesh, so
+                    # the exemplar feature forwards shard; the scatter-add
+                    # below psums back to a replicated [C, D]. Constraints
+                    # (not in_shardings) so caller placement wins — the
+                    # buffer may arrive slot-sharded or replicated
+                    # (parallel/sharded_buffer.py) without a mismatch error.
+                    imgs = jax.lax.with_sharding_constraint(imgs, row_shard)
 
                 def body(_, xb):
                     f = features_eval(self.module, params, stats, xb)
@@ -436,10 +473,14 @@ class ContinualLearner:
                     means = jnp.where((cnts > 0)[:, None], means, 1e6)
                 return means
 
-            @jax.jit
             def ncm_eval(params, stats, means, seen, x, y, m):
                 def body(carry, inp):
                     xb, yb, mb = inp
+                    if sharded:
+                        from jax.sharding import PartitionSpec as _P
+
+                        xb = jax.lax.with_sharding_constraint(
+                            xb, NamedSharding(mesh, _P("data")))
                     f = features_eval(self.module, params, stats, xb)
                     f = f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True), 1e-12)
                     d = jnp.sum((f[:, None, :] - means[None, :, :]) ** 2, axis=-1)
@@ -450,8 +491,18 @@ class ContinualLearner:
                 correct, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), (x, y, m))
                 return correct
 
+            if sharded:
+                # inputs keep caller placement (the buffer may arrive
+                # slot-sharded from parallel/sharded_buffer.py); the
+                # internal constraints above distribute the compute, and
+                # outputs land replicated for the host-side accuracy math
+                exemplar_means = jax.jit(exemplar_means, out_shardings=rep)
+                ncm_eval = jax.jit(ncm_eval, out_shardings=rep)
+            else:
+                exemplar_means = jax.jit(exemplar_means)
+                ncm_eval = jax.jit(ncm_eval)
             ncm_fns = (exemplar_means, ncm_eval)
-            self._eval_cache["ncm"] = ncm_fns
+            self._eval_cache[cache_key] = ncm_fns
         exemplar_means, ncm_eval = ncm_fns
 
         from ocl_tpu.models import feature_dim_for

@@ -48,6 +48,15 @@ def build_gss_update(agent):
     module = agent.module
     strength = int(agent.params.gss_mem_strength)
     gss_bsz = int(agent.params.gss_batch_size)
+    # The bank's vmap(grad) with SHARED weights lowers nn.Conv weight-grads
+    # to grouped convolutions, measured ~3.9x over their pure-compute bound
+    # (docs/PERFORMANCE.md). The one previously-unexplored alternative — an
+    # im2col re-lowering (models.layers.PatchConv: conv as patches @ W, so
+    # the vmapped weight-grad becomes one batched MXU matmul per layer) —
+    # was built and measured WORSE: 8.09 vs 4.39 ms/bank on the v5e
+    # (tools/probe_gss_im2col.py; nf=20 gives K<=180, N<=160 matmuls that
+    # fill the MXU worse than the grouped convs do). The grouped-conv
+    # lowering stays; the jvp gate below remains the win that matters.
 
     def ce_eval(p, stats, x, y, mask=None):
         return cross_entropy(forward_eval(module, p, stats, x), y, mask=mask)

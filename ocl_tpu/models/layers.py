@@ -80,24 +80,82 @@ class BatchNorm(nn.Module):
         return out.astype(x.dtype)
 
 
-class Conv3x3(nn.Module):
+class PatchConv(nn.Module):
+    """Conv expressed as im2col patches @ matrix — param-compatible with
+    nn.Conv (one 'kernel' leaf, HWIO).
+
+    Built as the candidate lowering for the GSS gradient bank: under
+    `vmap(jax.grad)` with SHARED weights XLA lowers nn.Conv's per-lane
+    weight-grads to grouped convolutions (~3.9x over their compute bound —
+    docs/PERFORMANCE.md); with the conv written as patches @ W the same
+    weight-grad is patchesᵀ @ cotangent, one batched MXU matmul per layer.
+    MEASURED OUTCOME (tools/probe_gss_im2col.py, v5e): the im2col bank runs
+    8.09 vs 4.39 ms — at nf=20 the matmuls are too narrow (K ≤ 180,
+    N ≤ 160) to fill the MXU better than the grouped convs, so
+    buffer/gss.py keeps the lax lowering. PatchConv stays as a tested
+    alternative lowering (conv_impl='patch' on the ResNet family; forward
+    and grads match nn.Conv to reduction-order tolerance,
+    tests/test_model.py::test_patch_conv_matches_lax_conv).
+
+    conv_general_dilated_patches orders the patch axis (C, kh, kw) — the
+    kernel reshape below must match (verified against conv_general_dilated).
+    """
+
     features: int
+    kernel_size: tuple = (3, 3)
     stride: int = 1
+    padding: int = 1
 
     @nn.compact
     def __call__(self, x):
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param("kernel", torch_kernel_init,
+                            (kh, kw, cin, self.features))
+        kernel = kernel.astype(x.dtype)
+        if (kh, kw) == (1, 1):
+            w = kernel.reshape(cin, self.features)
+            if self.stride != 1:
+                x = x[:, ::self.stride, ::self.stride, :]
+            return x @ w
+        patches = jax.lax.conv_general_dilated_patches(
+            x, (kh, kw), (self.stride, self.stride),
+            [(self.padding, self.padding)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        w = kernel.transpose(2, 0, 1, 3).reshape(cin * kh * kw, self.features)
+        return patches @ w
+
+
+class Conv3x3(nn.Module):
+    features: int
+    stride: int = 1
+    # 'lax': nn.Conv (XLA convolution — the default fwd/bwd path);
+    # 'patch': im2col matmul lowering (see PatchConv). Same param tree.
+    impl: str = "lax"
+
+    @nn.compact
+    def __call__(self, x):
+        if self.impl == "patch":
+            return PatchConv(self.features, (3, 3), self.stride, 1,
+                             name="Conv_0")(x)
         return nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                       padding=1, use_bias=False, kernel_init=torch_kernel_init)(x)
+                       padding=1, use_bias=False, kernel_init=torch_kernel_init,
+                       name="Conv_0")(x)
 
 
 class Conv1x1(nn.Module):
     features: int
     stride: int = 1
+    impl: str = "lax"
 
     @nn.compact
     def __call__(self, x):
+        if self.impl == "patch":
+            return PatchConv(self.features, (1, 1), self.stride, 0,
+                             name="Conv_0")(x)
         return nn.Conv(self.features, (1, 1), strides=(self.stride, self.stride),
-                       padding=0, use_bias=False, kernel_init=torch_kernel_init)(x)
+                       padding=0, use_bias=False, kernel_init=torch_kernel_init,
+                       name="Conv_0")(x)
 
 
 class TorchLinear(nn.Module):

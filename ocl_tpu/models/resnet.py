@@ -26,15 +26,17 @@ class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     expansion: int = 1
+    conv_impl: str = "lax"
 
     @nn.compact
     def __call__(self, x, train: bool, w=None):
-        out = Conv3x3(self.planes, self.stride)(x)
+        out = Conv3x3(self.planes, self.stride, impl=self.conv_impl)(x)
         out = nn.relu(BatchNorm()(out, train, w))
-        out = Conv3x3(self.planes)(out)
+        out = Conv3x3(self.planes, impl=self.conv_impl)(out)
         out = BatchNorm()(out, train, w)
         if self.stride != 1 or x.shape[-1] != self.expansion * self.planes:
-            x = Conv1x1(self.expansion * self.planes, self.stride)(x)
+            x = Conv1x1(self.expansion * self.planes, self.stride,
+                        impl=self.conv_impl)(x)
             x = BatchNorm()(x, train, w)
         return nn.relu(out + x)
 
@@ -43,14 +45,18 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     expansion: int = 4
+    conv_impl: str = "lax"
 
     @nn.compact
     def __call__(self, x, train: bool, w=None):
-        out = nn.relu(BatchNorm()(Conv1x1(self.planes)(x), train, w))
-        out = nn.relu(BatchNorm()(Conv3x3(self.planes, self.stride)(out), train, w))
-        out = BatchNorm()(Conv1x1(self.expansion * self.planes)(out), train, w)
+        impl = self.conv_impl
+        out = nn.relu(BatchNorm()(Conv1x1(self.planes, impl=impl)(x), train, w))
+        out = nn.relu(BatchNorm()(
+            Conv3x3(self.planes, self.stride, impl=impl)(out), train, w))
+        out = BatchNorm()(
+            Conv1x1(self.expansion * self.planes, impl=impl)(out), train, w)
         if self.stride != 1 or x.shape[-1] != self.expansion * self.planes:
-            x = Conv1x1(self.expansion * self.planes, self.stride)(x)
+            x = Conv1x1(self.expansion * self.planes, self.stride, impl=impl)(x)
             x = BatchNorm()(x, train, w)
         return nn.relu(out + x)
 
@@ -71,14 +77,20 @@ class ResNet(nn.Module):
     # "bf16" casts params+inputs to bfloat16 for the fwd/bwd (MXU-native;
     # BN statistics stay f32, see layers.BatchNorm), "fp32" is exact.
     compute_dtype: str = "fp32"
+    # conv lowering: "lax" (XLA convolutions) or "patch" (im2col matmuls —
+    # used by the GSS gradient bank, layers.PatchConv). Identical param tree,
+    # so module.clone(conv_impl=...) reuses the same weights.
+    conv_impl: str = "lax"
 
     def setup(self):
         block_cls = _BLOCKS[self.block]
         layers = []
         for stage, (n, stride) in enumerate(zip(self.num_blocks, (1, 2, 2, 2))):
             planes = self.nf * (2 ** stage)
-            layers.append([block_cls(planes, stride if i == 0 else 1) for i in range(n)])
-        self.conv1 = Conv3x3(self.nf)
+            layers.append([block_cls(planes, stride if i == 0 else 1,
+                                     conv_impl=self.conv_impl)
+                           for i in range(n)])
+        self.conv1 = Conv3x3(self.nf, impl=self.conv_impl)
         self.bn1 = BatchNorm()
         self.stages = layers
         self.linear = TorchLinear(self.num_classes, use_bias=self.bias)

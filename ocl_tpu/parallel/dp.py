@@ -28,9 +28,15 @@ def make_dp_train_task(agent, mesh):
     # State/ctx shardings are left unspecified so caller placement wins
     # (e.g. a slot-sharded buffer next to replicated params).
     xs_shard = NamedSharding(mesh, P(None, "data"))
+    if agent.params.agent == "CNDPM":
+        # CN-DPM's task fn takes no TaskCtx (agents/cndpm.py:302) — its
+        # label bookkeeping lives in the expert assignments
+        in_shardings = (None, xs_shard, xs_shard)
+    else:
+        in_shardings = (None, None, xs_shard, xs_shard)
     return jax.jit(
         fn,
-        in_shardings=(None, None, xs_shard, xs_shard),
+        in_shardings=in_shardings,
         out_shardings=None,
     )
 

@@ -83,3 +83,40 @@ def test_scr_fused_views_match_sequential_loss():
 
     assert np.isfinite(losses[True]) and np.isfinite(losses[False])
     assert abs(losses[True] - losses[False]) < 0.5, losses
+
+
+def test_error_analysis_eval_prints_and_accumulates(capsys, tmp_path,
+                                                    monkeypatch):
+    """--error_analysis eval matches the reference's console surface
+    (agents/base.py:212-226): per eval it appends to all seven accumulators
+    (error_list, new/old_class_score, fc/bias norms — unconditionally, NaN
+    for empty class sets) and prints the nine lines in the reference's
+    order."""
+    monkeypatch.chdir(tmp_path)  # the eval dumps a 'confusion' pickle to cwd
+    p = default_params(data="synthetic", agent="ER", mem_size=60,
+                       verbose=True, nf=4, test_batch=20,
+                       error_analysis=True)
+    agent = agents["ER"](p)
+    state = agent.init_state(jax.random.PRNGKey(0))
+    tasks, loaders = _stream(p)
+    n_evals = 0
+    for x, y in tasks:
+        state = agent.train_learner(state, x, y)
+        capsys.readouterr()
+        accs = agent.evaluate(state, loaders)
+        n_evals += 1
+        out = capsys.readouterr().out.strip().splitlines()
+        # accs, "no ratio"+"on ratio" (2 lines), error_list, new/old score,
+        # fc old/new, bias old/new — the ratio format splits over 2 lines
+        assert len(out) >= 10, out
+        assert out[-9].startswith("no ratio"), out
+        assert accs.shape == (2,)
+    assert len(agent.error_list) == n_evals
+    for lst in (agent.new_class_score, agent.old_class_score,
+                agent.fc_norm_new, agent.fc_norm_old,
+                agent.bias_norm_new, agent.bias_norm_old):
+        assert len(lst) == n_evals, lst
+    # after task 1 there are no old-minus-zombie classes: NaN, like the
+    # reference's mean over an empty tensor
+    assert np.isnan(agent.fc_norm_old[0]) and np.isfinite(agent.fc_norm_old[1])
+    assert (tmp_path / "confusion").exists()

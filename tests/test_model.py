@@ -94,3 +94,42 @@ def test_multi_epoch_batchify():
     # each epoch covers the same 20 samples in a different order
     flat = np.asarray(ys).reshape(3, 20)
     assert (np.sort(flat, axis=1) == np.sort(flat[0])).all()
+
+
+def test_patch_conv_matches_lax_conv():
+    """conv_impl='patch' (im2col matmul lowering, layers.PatchConv — the
+    GSS gradient-bank formulation) is a pure re-lowering: same param tree,
+    same forward values, same gradients to reduction-order tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from ocl_tpu.models import forward_eval, init_model
+    from ocl_tpu.models.resnet import Reduced_ResNet18
+    from ocl_tpu.ops.losses import cross_entropy
+
+    m = Reduced_ResNet18(10, nf=4)
+    params, stats = init_model(m, jax.random.PRNGKey(0), "cifar10")
+    mp = m.clone(conv_impl="patch")
+    # identical param tree: clone applies the same weights directly
+    g = np.random.RandomState(0)
+    x = jnp.asarray(g.rand(6, 32, 32, 3), jnp.float32)
+    y = jnp.asarray(g.randint(0, 10, 6), jnp.int32)
+
+    a = jax.jit(lambda p, s, v: forward_eval(m, p, s, v))(params, stats, x)
+    b = jax.jit(lambda p, s, v: forward_eval(mp, p, s, v))(params, stats, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(mod):
+        def f(p):
+            return cross_entropy(forward_eval(mod, p, stats, x), y)
+        return f
+
+    ga = jax.jit(jax.grad(loss(m)))(params)
+    gb = jax.jit(jax.grad(loss(mp)))(params)
+    la = jax.tree_util.tree_leaves(ga)
+    lb = jax.tree_util.tree_leaves(gb)
+    assert len(la) == len(lb)
+    for xa, xb in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                   rtol=1e-3, atol=1e-5)

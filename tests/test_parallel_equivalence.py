@@ -194,3 +194,95 @@ def test_parallel_runs_store_matches_shape(tmp_path):
         acc = pickle.load(f)["acc_array"]
     assert acc.shape == (2, 2, 2)
     assert np.all((acc >= 0) & (acc <= 1))
+
+
+def test_dp_scr_step_matches_unsharded():
+    """SCR's full DP step — retrieval, two-view random augmentation, SupCon
+    loss, buffer update — over the 8-device mesh vs the unsharded program on
+    identical batches and rng (VERDICT r3 #6). Discrete buffer state must be
+    exact; params agree to reduction-order tolerance (same pin scale as the
+    ER DP test above)."""
+    from ocl_tpu.parallel.dp import make_dp_train_task
+    from ocl_tpu.parallel.mesh import get_mesh
+    from ocl_tpu.parallel.sharded_buffer import shard_buffer
+    from ocl_tpu.utils.meters import tree_copy
+
+    n_dev = len(jax.devices())
+    assert n_dev == 8
+    p = default_params(data="synthetic", agent="SCR", mem_size=n_dev * 8,
+                       eps_mem_batch=n_dev, batch=n_dev * 2, nf=4,
+                       head="mlp", temp=0.07, verbose=False, scan_unroll=1)
+    agent = agents["SCR"](p)
+    state0 = agent.init_state(jax.random.PRNGKey(0))
+    ctx = agent.before_train([0, 1])
+
+    g = np.random.RandomState(0)
+    xs = jnp.asarray(g.rand(2, p.batch, 32, 32, 3), jnp.float32)
+    ys = jnp.asarray(g.randint(0, 2, (2, p.batch)), jnp.int32)
+
+    plain_fn = jax.jit(agent._build_train_task_fn())
+    mesh = get_mesh(n_dev)
+    dp_fn = make_dp_train_task(agent, mesh)
+
+    s_plain, m_plain = plain_fn(tree_copy(state0), ctx, xs[:1], ys[:1])
+    s_dp0 = tree_copy(state0).replace(
+        buffer=shard_buffer(tree_copy(state0).buffer, mesh))
+    with mesh:
+        s_dp, m_dp = dp_fn(s_dp0, ctx, xs[:1], ys[:1])
+        jax.block_until_ready(jax.tree_util.tree_leaves(s_dp.params)[0])
+
+    assert abs(float(m_plain["loss"][0]) - float(m_dp["loss"][0])) < 1e-4
+    assert _tree_max_diff(s_plain.params, s_dp.params) < 1e-3
+    assert int(s_plain.buffer.current_index) == int(s_dp.buffer.current_index)
+    assert np.array_equal(np.asarray(s_plain.buffer.labels),
+                          np.asarray(s_dp.buffer.labels))
+    assert _tree_max_diff(s_plain.buffer.imgs, s_dp.buffer.imgs) < 1e-6
+
+
+def test_dp_cndpm_wake_step_matches_unsharded():
+    """CN-DPM's wake step (expert log-evidence routing + STM accumulation)
+    under the DP program vs unsharded (VERDICT r3 #6). The wake path's
+    discrete state (STM contents/count, CRP counts) must be exact; expert
+    params agree to reduction-order tolerance."""
+    from ocl_tpu.models import ndpm_vars as V
+    from ocl_tpu.parallel.dp import make_dp_train_task
+    from ocl_tpu.parallel.mesh import get_mesh
+    from ocl_tpu.utils.meters import tree_copy
+
+    n_dev = len(jax.devices())
+    assert n_dev == 8
+    old_z = V.VAE_Z_SAMPLES
+    V.VAE_Z_SAMPLES = 2
+    try:
+        p = default_params(data="synthetic", agent="CNDPM", max_experts=2,
+                           stm_capacity=64, batch=n_dev * 2, nf=4,
+                           optimizer="Adam", learning_rate=0.001,
+                           sleep_step_g=4, sleep_step_d=2, verbose=False,
+                           scan_unroll=1)
+        agent = agents["CNDPM"](p)
+        state0 = agent.init_state(jax.random.PRNGKey(0))
+
+        g = np.random.RandomState(0)
+        xs = jnp.asarray(g.rand(2, p.batch, 32, 32, 3), jnp.float32)
+        ys = jnp.asarray(g.randint(0, 2, (2, p.batch)), jnp.int32)
+
+        plain_fn = jax.jit(agent._build_train_task_fn())
+        mesh = get_mesh(n_dev)
+        dp_fn = make_dp_train_task(agent, mesh)
+
+        s_plain, m_plain = plain_fn(tree_copy(state0), xs, ys)
+        with mesh:
+            s_dp, m_dp = dp_fn(tree_copy(state0), xs, ys)
+            jax.block_until_ready(jax.tree_util.tree_leaves(s_dp.params)[0])
+
+        assert int(s_plain.agent["stm_count"]) == int(s_dp.agent["stm_count"])
+        assert np.array_equal(np.asarray(s_plain.agent["stm_y"]),
+                              np.asarray(s_dp.agent["stm_y"]))
+        assert _tree_max_diff(s_plain.agent["stm_x"], s_dp.agent["stm_x"]) < 1e-6
+        assert _tree_max_diff(s_plain.params, s_dp.params) < 1e-3
+        for k in ("loss",):
+            if k in m_plain:
+                np.testing.assert_allclose(np.asarray(m_plain[k]),
+                                           np.asarray(m_dp[k]), atol=1e-3)
+    finally:
+        V.VAE_Z_SAMPLES = old_z

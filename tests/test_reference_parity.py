@@ -6,7 +6,9 @@ the 1-core-CPU budget) and asserts the run-averaged Avg_End_Acc agree. The
 full-width, full-agent comparison lives in PARITY_RESULTS.md (produced by
 tools/parity_vs_reference.py on the TPU).
 
-Skipped when /root/reference is not mounted.
+The live-torch pins are skipped when /root/reference is not mounted; the
+golden pins (committed fixture matrices, tools/make_parity_goldens.py) run
+anywhere.
 """
 
 import os
@@ -18,7 +20,9 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
-pytestmark = pytest.mark.skipif(
+# the live-torch pins need the reference checkout; the golden pins below
+# run anywhere (they compare against committed fixture matrices)
+needs_reference = pytest.mark.skipif(
     not os.path.isdir("/root/reference/agents"),
     reason="reference checkout not available",
 )
@@ -49,22 +53,26 @@ def _compare(cfg):
     return ref_acc, ocl_acc
 
 
+@needs_reference
 def test_er_parity():
     ref_acc, ocl_acc = _compare(dict(agent="ER", update="random", retrieve="random"))
     assert abs(ref_acc - ocl_acc) < 0.05, (ref_acc, ocl_acc)
 
 
+@needs_reference
 def test_ewc_parity():
     ref_acc, ocl_acc = _compare(
         dict(agent="EWC", lambda_=100.0, alpha=0.9, fisher_update_after=50))
     assert abs(ref_acc - ocl_acc) < 0.05, (ref_acc, ocl_acc)
 
 
+@needs_reference
 def test_agem_parity():
     ref_acc, ocl_acc = _compare(dict(agent="AGEM", update="random", retrieve="random"))
     assert abs(ref_acc - ocl_acc) < 0.05, (ref_acc, ocl_acc)
 
 
+@needs_reference
 def test_gss_parity():
     """Guards the jvp-gated GSS update (buffer/gss.py) against the
     reference's per-sample-backward implementation."""
@@ -72,3 +80,54 @@ def test_gss_parity():
         dict(agent="ER", update="GSS", retrieve="random",
              gss_mem_strength=3, gss_batch_size=10, fused_replay=False))
     assert abs(ref_acc - ocl_acc) < 0.05, (ref_acc, ocl_acc)
+
+
+# ---------------------------------------------------------------- golden pins
+# The remaining reference agent families (reference utils/name_match.py:31-40)
+# are pinned against COMMITTED golden torch-oracle matrices
+# (tests/fixtures/parity_golden/, produced once by
+# tools/make_parity_goldens.py on the identical streams) so CI never pays a
+# torch run for them — only the ocl side executes here.
+
+GOLDEN_AGENTS = ["MIR", "ASER", "ICARL", "SCR", "LWF", "GDUMB"]
+
+
+def _golden_compare(name, seeds=None):
+    import make_parity_goldens as G
+    import parity_vs_reference as pv
+
+    seeds = seeds or G.CI_SEEDS
+    missing = [s for s in seeds if not os.path.exists(G.golden_path(name, s))]
+    if missing:
+        pytest.skip("golden fixtures absent for {} seeds {}".format(
+            name, missing))
+    cfg = dict(G.GOLDEN_CONFIGS[name])
+    cfg.update(G.OCL_EXTRA.get(name, {}))
+    args = _Args(**G.CI_HP)
+    ref_rows, ocl_rows = [], []
+    for seed in seeds:
+        ref_rows.append(np.load(G.golden_path(name, seed)))
+        tasks, tests = pv.make_stream(seed, G.CI_STREAM["per_class"],
+                                      G.CI_STREAM["difficulty"],
+                                      G.CI_STREAM["num_tasks"])
+        ocl_rows.append(pv.run_ocl_side(cfg, tasks, tests, seed, args))
+    ref_acc, _ = pv.summarize(ref_rows)
+    ocl_acc, _ = pv.summarize(ocl_rows)
+    return ref_acc, ocl_acc
+
+
+@pytest.mark.parametrize("name", GOLDEN_AGENTS)
+def test_golden_parity(name):
+    ref_acc, ocl_acc = _golden_compare(name)
+    assert abs(ref_acc - ocl_acc) < 0.05, (name, ref_acc, ocl_acc)
+
+
+def test_golden_parity_cndpm():
+    """CN-DPM at the CI-shrunk sleep budget (100/50, identical on both
+    frameworks: the goldens were generated with the reference's module
+    constants patched; the ocl side passes the sleep_step_g/d flags).
+    VAE_Z_SAMPLES stays at the published 16 on both sides. 3 seeds — the
+    ocl compile is the cost, reused across seeds — hence the slightly wider
+    0.07 band."""
+    ref_acc, ocl_acc = _golden_compare("CNDPM", seeds=(1, 2, 3))
+    assert abs(ref_acc - ocl_acc) < 0.07, (ref_acc, ocl_acc)

@@ -126,3 +126,51 @@ def test_sharded_gss_update_matches_unsharded():
     np.testing.assert_allclose(np.asarray(a.labels), np.asarray(b.labels))
     np.testing.assert_allclose(np.asarray(a.score), np.asarray(b.score),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_ncm_eval_matches_unsharded():
+    """The NCM eval path (SCR/iCaRL's classifier; the O(T^2) eval hot spot,
+    SURVEY.md 3.2) fans out over the mesh with --n_devices: the exemplar
+    feature sweep shards its chunk rows, test batches shard like the softmax
+    path. Sharding is placement only — means agree to reduction-order
+    tolerance and the per-task accuracies are identical."""
+    from ocl_tpu.buffer.state import valid_mask
+    from ocl_tpu.config import default_params
+    from ocl_tpu.data import prepare_test_loaders
+    from ocl_tpu.models import feature_dim_for
+    from ocl_tpu.registry import agents
+
+    p = default_params(data="synthetic", agent="ER", ncm_trick=True,
+                       mem_size=64, eps_mem_batch=8, nf=4, verbose=False,
+                       test_batch=16)
+    agent = agents["ER"](p)
+    state = agent.init_state(jax.random.PRNGKey(0))
+    g = np.random.RandomState(0)
+    for t in range(2):
+        x = g.rand(40, 32, 32, 3).astype(np.float32)
+        y = g.randint(t * 2, t * 2 + 2, 40)
+        state = agent.train_learner(state, x, y)
+    tests = [(g.rand(32, 32, 32, 3).astype(np.float32),
+              g.randint(t * 2, t * 2 + 2, 32)) for t in range(2)]
+    loaders = prepare_test_loaders(tests, p)
+
+    accs_unsharded = agent.evaluate(state, loaders)
+    agent.params.n_devices = 8
+    with get_mesh(8):
+        accs_sharded = agent.evaluate(state, loaders)
+    assert ("ncm", 8) in agent._eval_cache  # the sharded program really built
+    np.testing.assert_array_equal(accs_unsharded, accs_sharded)
+
+    # the exemplar means themselves: reduction-order tolerance
+    noise = jnp.zeros((agent.n_classes,
+                       feature_dim_for("synthetic", 4)), jnp.float32)
+    buf = state.buffer
+    m_un = agent._eval_cache[("ncm", 1)][0](
+        state.params, state.batch_stats, buf.imgs, buf.labels,
+        valid_mask(buf), noise)
+    with get_mesh(8):
+        m_sh = agent._eval_cache[("ncm", 8)][0](
+            state.params, state.batch_stats, buf.imgs, buf.labels,
+            valid_mask(buf), noise)
+    np.testing.assert_allclose(np.asarray(m_un), np.asarray(m_sh),
+                               rtol=1e-5, atol=1e-6)

@@ -19,10 +19,26 @@ computed once per distinct reference-visible config×stream×seed, shared by
 ocl-only variant rows (ER/ER_FUSED/ER_BF16; SCR/SCR_FUSED; ICARL and its
 ablations) and across re-runs/crashes.
 
+Arithmetic-honest verdicts (VERDICT r3 #1): the torch reference computes
+exact-IEEE f32 on CPU, while the ocl side's DEFAULT TPU path rounds f32
+convs through truncated-mantissa MXU passes — a measured, benign ±2 pt
+noise source at batch 10 (PARITY.md arithmetic ablation). The pass/fail
+verdict is therefore DEFINED at reference-exact arithmetic: whenever a row
+has an exact-f32 companion run (``--arith cpu_f32``: the ocl side on
+XLA:CPU, same IEEE f32 ops as torch), the verdict column judges THAT delta
+against the ±1 pt band, and the DEFAULT-precision delta is printed
+alongside as the documented fast-path arithmetic cost. Rows whose subject
+IS a fast arithmetic mode (ER_BF16) are labelled fast-path and judged on
+their own column.
+
 Usage (ocl side on the TPU by default; the torch side is always CPU):
   python tools/parity_vs_reference.py --agents ER MIR EWC --seeds 10
   python tools/parity_vs_reference.py --seeds 10 --ref_only   # warm the
       torch-side cache only (no TPU/JAX use; run in the background)
+  JAX_PLATFORMS=cpu python tools/parity_vs_reference.py --agents ER \
+      --arith cpu_f32 --seeds 10     # exact-arithmetic companion runs
+  python tools/parity_vs_reference.py --import_probe  # fold the committed
+      probe summaries (results/er_drift_probe.json) into the report
 """
 
 from __future__ import annotations
@@ -243,9 +259,20 @@ def run_ocl_side(cfg, tasks, tests, seed, args):
     return np.stack(rows)
 
 
-def get_side(side, name, cfg, seed, args, stream_cache):
+def arith_cache_key(arith, cfg, seed, args):
+    """Content-addressed path for a non-default-arithmetic ocl matrix.
+    Shares the naming scheme (and hence any existing cache) of
+    tools/probe_er_drift.py's variant_key."""
+    base = os.path.basename(_cache_key("ocl", cfg, seed, args))
+    return os.path.join(RAW_DIR, "probe_{}_{}".format(arith, base))
+
+
+def get_side(side, name, cfg, seed, args, stream_cache, arith="default"):
     """Cached accuracy matrix for one (row, seed, side)."""
-    path = _cache_key(side, cfg, seed, args)
+    if side == "ocl" and arith != "default":
+        path = arith_cache_key(arith, cfg, seed, args)
+    else:
+        path = _cache_key(side, cfg, seed, args)
     mat = _cached(path)
     if mat is not None:
         return mat, True
@@ -330,19 +357,20 @@ def main():
     ap.add_argument("--ref_only", action="store_true",
                     help="compute/cache only the torch side (no JAX backend "
                          "use; safe to run while the TPU is busy)")
+    ap.add_argument("--arith", default="default",
+                    choices=["default", "cpu_f32", "tpu_highest", "tpu_high"],
+                    help="run the ocl side under this arithmetic and store "
+                         "it as the row's exact/precision companion instead "
+                         "of touching the default columns (cpu_f32 needs "
+                         "JAX_PLATFORMS=cpu; reference-exact IEEE f32)")
+    ap.add_argument("--import_probe", action="store_true",
+                    help="fold the committed probe summaries "
+                         "(results/er_drift_probe.json) into the rows' "
+                         "arith companions and rewrite the report — no "
+                         "computation")
     ap.add_argument("--out", default=os.path.join(REPO, "PARITY_RESULTS.md"))
     ap.add_argument("--json_out", default=os.path.join(REPO, "parity_results.json"))
     args = ap.parse_args()
-
-    if not args.ref_only:
-        from ocl_tpu.config import apply_platform_env
-
-        if args.cpu:
-            os.environ["JAX_PLATFORMS"] = "cpu"
-        apply_platform_env()
-
-    if "CNDPM" in args.agents:
-        _patch_cndpm_constants()
 
     results = {}
     if os.path.exists(args.json_out):
@@ -356,6 +384,37 @@ def main():
         except Exception:
             pass
 
+    if args.import_probe:
+        probe_path = os.path.join(REPO, "results", "er_drift_probe.json")
+        with open(probe_path) as f:
+            probe = json.load(f)
+        for name, variants in probe.items():
+            if name not in results:
+                continue
+            for mode, stats in variants.items():
+                if mode == "tpu_default":  # that IS the default row
+                    continue
+                results[name].setdefault("arith", {})[mode] = stats
+        with open(args.json_out, "w") as f:
+            json.dump(dict(args=vars(args), results=results), f, indent=1)
+        write_report(args, results)
+        return
+
+    if not args.ref_only:
+        from ocl_tpu.config import apply_platform_env
+
+        if args.cpu or args.arith == "cpu_f32":
+            os.environ["JAX_PLATFORMS"] = "cpu"
+        apply_platform_env()
+        if args.arith in ("tpu_highest", "tpu_high"):
+            import jax
+
+            jax.config.update("jax_default_matmul_precision",
+                              args.arith.replace("tpu_", ""))
+
+    if "CNDPM" in args.agents:
+        _patch_cndpm_constants()
+
     stream_cache = {}
     for name in args.agents:
         cfg = AGENT_CONFIGS[name]
@@ -366,17 +425,25 @@ def main():
                                      stream_cache)[0])
             if not args.ref_only:
                 ocl_mats.append(get_side("ocl", name, cfg, seed, args,
-                                         stream_cache)[0])
+                                         stream_cache, arith=args.arith)[0])
         if args.ref_only:
             print("[{}] ref cache warm ({} seeds)".format(name, args.seeds),
                   flush=True)
             continue
         row = paired_stats(ref_mats, ocl_mats)
         row["seconds"] = round(time.time() - t0, 1)
-        results[name] = row
-        print("[{}] dacc {:+.3f}±{:.3f} dfgt {:+.3f}±{:.3f} "
+        if args.arith != "default":
+            if name not in results:
+                sys.exit("no default-arithmetic row for {} — run it first "
+                         "so the report has both columns".format(name))
+            results[name].setdefault("arith", {})[args.arith] = row
+        else:
+            row["arith"] = results.get(name, {}).get("arith", {})
+            results[name] = row
+        print("[{}{}] dacc {:+.3f}±{:.3f} dfgt {:+.3f}±{:.3f} "
               "dpeak {:+.3f}±{:.3f} ({} seeds)".format(
-                  name, row["d_acc"], row["d_acc_ci95"], row["d_fgt"],
+                  name, "" if args.arith == "default" else " " + args.arith,
+                  row["d_acc"], row["d_acc_ci95"], row["d_fgt"],
                   row["d_fgt_ci95"], row["d_peak"], row["d_peak_ci95"],
                   row["seeds"]), flush=True)
         with open(args.json_out, "w") as f:
@@ -386,17 +453,40 @@ def main():
         write_report(args, results)
 
 
-def _band_verdict(row):
+# rows whose SUBJECT is a fast arithmetic mode: judged on their own column,
+# labelled so the reader knows the delta is the mode's documented cost
+FASTPATH_ROWS = {"ER_BF16"}
+
+
+def _band(m, h):
     """Against the ±1 pt north star: does the Δacc CI touch [-0.01, +0.01]?"""
-    m, h = row["d_acc"], row["d_acc_ci95"]
     if np.isnan(h):
         return "n=1"
-    lo, hi = m - h, m + h
     if -0.01 <= m <= 0.01:
         return "pass"
-    if lo <= 0.01 and hi >= -0.01:
+    if m - h <= 0.01 and m + h >= -0.01:
         return "pass (CI)"
     return "FAIL"
+
+
+def _band_verdict(name, row):
+    """The verdict is DEFINED at reference-exact arithmetic when the row has
+    an exact-f32 companion (VERDICT r3 #1); the default-precision delta then
+    stands as the documented fast-path cost, not the pass criterion."""
+    if name in FASTPATH_ROWS:
+        return _band(row["d_acc"], row["d_acc_ci95"]) + " (fast-path)"
+    exact = row.get("arith", {}).get("cpu_f32")
+    if exact:
+        return _band(exact["d_acc"], exact["d_acc_ci95"]) + " @exact"
+    return _band(row["d_acc"], row["d_acc_ci95"])
+
+
+def _exact_cell(row):
+    exact = row.get("arith", {}).get("cpu_f32")
+    if not exact:
+        return "—"
+    return "{:+.3f} ± {:.3f} (n={})".format(
+        exact["d_acc"], exact["d_acc_ci95"], exact["seeds"])
 
 
 def write_report(args, results):
@@ -414,16 +504,26 @@ def write_report(args, results):
         "Verdict: 'pass' = |mean Δacc| ≤ 0.01 (the ±1 pt north star);",
         "'pass (CI)' = the CI overlaps the ±1 pt band.",
         "",
-        "| Agent | n | ref acc | ocl acc | Δacc ± CI | ref fgt | ocl fgt | Δfgt ± CI | verdict |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "ARITHMETIC POLICY: the torch reference computes exact IEEE f32 on",
+        "CPU; the ocl side's default TPU path rounds f32 convs through",
+        "truncated-mantissa MXU passes (PARITY.md, arithmetic ablation).",
+        "Where a row has an exact-f32 companion (ocl on XLA:CPU — the same",
+        "IEEE f32 arithmetic as torch; 'Δacc exact-f32' column), the verdict",
+        "is DEFINED on that column ('@exact') and the default-precision Δacc",
+        "stands as the documented fast-path arithmetic cost. ER_BF16's",
+        "subject IS a fast arithmetic mode, so it is judged on its own",
+        "column and labelled '(fast-path)'.",
+        "",
+        "| Agent | n | ref acc | ocl acc | Δacc ± CI (default) | Δacc exact-f32 | ref fgt | ocl fgt | Δfgt ± CI | verdict |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, r in results.items():
         lines.append(
-            "| {} | {} | {:.3f} | {:.3f} | {:+.3f} ± {:.3f} | {:.3f} | {:.3f} "
-            "| {:+.3f} ± {:.3f} | {} |".format(
+            "| {} | {} | {:.3f} | {:.3f} | {:+.3f} ± {:.3f} | {} | {:.3f} "
+            "| {:.3f} | {:+.3f} ± {:.3f} | {} |".format(
                 name, r["seeds"], r["ref_acc"], r["ocl_acc"], r["d_acc"],
-                r["d_acc_ci95"], r["ref_fgt"], r["ocl_fgt"], r["d_fgt"],
-                r["d_fgt_ci95"], _band_verdict(r)))
+                r["d_acc_ci95"], _exact_cell(r), r["ref_fgt"], r["ocl_fgt"],
+                r["d_fgt"], r["d_fgt_ci95"], _band_verdict(name, r)))
     lines += [
         "",
         "## Peak-vs-end decomposition (the Δfgt anatomy)",
@@ -441,6 +541,26 @@ def write_report(args, results):
             "| {} | {:.3f} | {:.3f} | {:+.3f} ± {:.3f} | {:+.3f} | {:+.3f} |".format(
                 name, r["ref_peak"], r["ocl_peak"], r["d_peak"],
                 r["d_peak_ci95"], r["d_acc"], r["d_fgt"]))
+    arith_rows = [(n, r) for n, r in results.items() if r.get("arith")]
+    if arith_rows:
+        lines += [
+            "",
+            "## Arithmetic companions (same streams, same torch matrices)",
+            "",
+            "cpu_f32 = ocl on XLA:CPU (reference-exact IEEE f32 — the",
+            "verdict-defining mode); tpu_highest / tpu_high = the MXU's",
+            "multi-pass f32 emulations (--matmul_precision).",
+            "",
+            "| Agent | mode | n | ocl acc | Δacc ± CI | Δfgt ± CI |",
+            "|---|---|---|---|---|---|",
+        ]
+        for name, r in arith_rows:
+            for mode, s in r["arith"].items():
+                lines.append(
+                    "| {} | {} | {} | {:.3f} | {:+.3f} ± {:.3f} "
+                    "| {:+.3f} ± {:.3f} |".format(
+                        name, mode, s["seeds"], s["ocl_acc"], s["d_acc"],
+                        s["d_acc_ci95"], s["d_fgt"], s["d_fgt_ci95"]))
     lines += [
         "",
         "Positive Δacc = ocl_tpu higher. Stochastic trajectories differ by",

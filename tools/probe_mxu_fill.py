@@ -35,12 +35,20 @@ def main():
     import bench
 
     rows = []
+    missing_mfu = []
     for nf in args.widths:
         row = bench.bench_stream_agent(
             "er_b128_bf16_nf%d" % nf, args.steps, agent="ER", mem_size=1000,
             batch=128, eps_mem_batch=128, compute_dtype="bf16", nf=nf)
         rows.append(row)
         print(json.dumps(row))
+        # the probe's whole point is the MFU-vs-width curve; a silently
+        # failed FLOPs estimate (bench.bench_stream_agent swallows it)
+        # would make mxu_fill.json unusable without saying so
+        if "mfu_pct" not in row:
+            missing_mfu.append(row["metric"])
+            print("WARNING: no mfu_pct for %s (FLOPs estimate failed)"
+                  % row["metric"], file=sys.stderr)
 
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "results", "mxu_fill.json")
@@ -48,6 +56,9 @@ def main():
     with open(out, "w") as f:
         json.dump(rows, f, indent=1)
     print("wrote", out)
+    if missing_mfu:
+        sys.exit("mxu_fill.json is missing mfu_pct for: %s"
+                 % ", ".join(missing_mfu))
 
 
 if __name__ == "__main__":
