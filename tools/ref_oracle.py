@@ -266,7 +266,12 @@ def run_reference(params, tasks, test_sets, seed=0):
     from utils.utils import maybe_cuda
 
     nf = getattr(params, "nf", 20)
-    if nf != 20:
+    if params.agent == "CNDPM":
+        # CN-DPM's architecture is its own VAE/classifier mixture — nf is a
+        # ResNet width knob and must not swap in a narrow ResNet here (the
+        # Cndpm agent drives model.learn)
+        model = setup_architecture(params)
+    elif nf != 20:
         model = _narrow_model(params, nf)
         # GDumb re-inits its model through setup_architecture at every task
         # end (reference agents/gdumb.py:61) — keep the reinit at the same
