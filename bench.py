@@ -57,6 +57,22 @@ def _sync(x):
     return np.asarray(jax.tree_util.tree_leaves(x)[0]) if x is not None else None
 
 
+def chain_slope_seconds(run_chain, k1=1, k2=5, reps=3):
+    """Seconds per chained unit with the host↔device constant removed.
+
+    Over the axon TPU tunnel every host-synced dispatch costs a measured
+    ~28 ms round trip regardless of device work, so timing ONE synced call
+    of an n-step scan inflates step_ms by ~28/n ms (at n=250 that understated
+    the ER headline by ~16%). `run_chain(k)` must dispatch k back-to-back
+    calls and sync once; dispatch is async (measured: 20 chained empty scans
+    amortize to 1.5 ms/call), so the best-of-reps totals at two chain
+    lengths give a slope in which any per-sync constant cancels exactly —
+    no recompile, same compiled fn."""
+    t1 = min(run_chain(k1) for _ in range(reps))
+    t2 = min(run_chain(k2) for _ in range(reps))
+    return max((t2 - t1) / (k2 - k1), 1e-12)
+
+
 def add_mfu(row):
     """MFU from the row's analytic flops_per_step over its measured step
     time, against the chip's dense peak (the analytic count errs low, so
@@ -119,12 +135,18 @@ def bench_stream_agent(label, n_steps, reps=3, img=32, n_cls=10,
 
     state, m = fn(state, *args)  # compile + warm
     _sync(m)
-    best = float("inf")
-    for _ in range(reps):
+    box = {"state": state}
+
+    def run_chain(k):
+        s = box["state"]
         t0 = time.time()
-        state, m = fn(state, *args)
-        _sync(m)
-        best = min(best, time.time() - t0)
+        for _ in range(k):
+            s, mk = fn(s, *args)
+        _sync(mk)
+        box["state"] = s
+        return time.time() - t0
+
+    best = chain_slope_seconds(run_chain, reps=reps)
     return add_mfu({
         "metric": label,
         "value": round(n_steps * bs / best, 1),
@@ -173,13 +195,17 @@ def bench_gdumb(n_items=1000, mem_epoch=10):
     out = fn(state.params, state.batch_stats, agent.retrain_tx.init(state.params),
              ctx, mem_x, mem_y, idx)
     np.asarray(out[3])
-    best = float("inf")
-    for _ in range(3):
+
+    def run_chain(k):
         t0 = time.time()
-        out = fn(state.params, state.batch_stats,
-                 agent.retrain_tx.init(state.params), ctx, mem_x, mem_y, idx)
+        for _ in range(k):
+            out = fn(state.params, state.batch_stats,
+                     agent.retrain_tx.init(state.params), ctx, mem_x, mem_y,
+                     idx)
         np.asarray(out[3])
-        best = min(best, time.time() - t0)
+        return time.time() - t0
+
+    best = chain_slope_seconds(run_chain)
     return add_mfu({
         "metric": "gdumb_retrain_throughput",
         "value": round(mem_epoch * nb * bs / best, 1),
@@ -219,34 +245,49 @@ def bench_ncm_eval(n_batches=40, test_batch=128):
               g.randint(0, 10, n))]
     loaders = prepare_test_loaders(tests, p)
     agent.evaluate(state, loaders)  # compile
+    import jax.numpy as jnp
+
+    from ocl_tpu.buffer.state import valid_mask
+    from ocl_tpu.models import feature_dim_for
+
+    means_fn, eval_fn = agent._eval_cache[("ncm", 1)]
+    buf = state.buffer
+    noise = jnp.zeros((10, feature_dim_for(p.data, 20)))
+    seen = jnp.ones((10,), bool)
+    margs = (state.params, state.batch_stats, buf.imgs, buf.labels,
+             valid_mask(buf), noise)
+    means = means_fn(*margs)
+    x, y, m = loaders[0]
+    eargs = (state.params, state.batch_stats, means, seen, x, y, m)
+
     flops = None
     try:
         from ocl_tpu.utils.flops import estimate_fn_flops
 
-        means_fn, eval_fn = agent._eval_cache[("ncm", 1)]
-        import jax.numpy as jnp
-
-        buf = state.buffer
-        from ocl_tpu.buffer.state import valid_mask
-        from ocl_tpu.models import feature_dim_for
-
-        noise = jnp.zeros((10, feature_dim_for(p.data, 20)))
-        flops = estimate_fn_flops(
-            means_fn, state.params, state.batch_stats, buf.imgs, buf.labels,
-            valid_mask(buf), noise)
-        means = means_fn(state.params, state.batch_stats, buf.imgs,
-                         buf.labels, valid_mask(buf), noise)
-        seen = jnp.ones((10,), bool)
-        for x, y, m in loaders:
-            flops += estimate_fn_flops(eval_fn, state.params,
-                                       state.batch_stats, means, seen, x, y, m)
+        flops = estimate_fn_flops(means_fn, *margs)
+        flops += estimate_fn_flops(eval_fn, *eargs)
     except Exception:
         pass
-    best = float("inf")
-    for _ in range(3):
+
+    # the sweep is two jitted components (exemplar-means pass + batched
+    # nearest-mean eval); chain each and sync once so the axon tunnel's
+    # per-sync constant cancels (the production evaluate() adds one host
+    # sync per task, a tunnel artifact, not device work)
+    def chain_means(k):
         t0 = time.time()
-        agent.evaluate(state, loaders)
-        best = min(best, time.time() - t0)
+        for _ in range(k):
+            out = means_fn(*margs)
+        _sync(out)
+        return time.time() - t0
+
+    def chain_eval(k):
+        t0 = time.time()
+        for _ in range(k):
+            out = eval_fn(*eargs)
+        _sync(out)
+        return time.time() - t0
+
+    best = chain_slope_seconds(chain_means) + chain_slope_seconds(chain_eval)
     row = {
         "metric": "ncm_eval_throughput",
         "value": round(n / best, 1),

@@ -14,6 +14,8 @@ torch matrices under arithmetic variants:
   * tpu_default  — as published (cached; DEFAULT precision)
   * tpu_highest  — jax_default_matmul_precision=highest (f32-equivalent
                    multi-pass convs on the MXU)
+  * tpu_high     — jax_default_matmul_precision=high (bf16x3 passes; the
+                   standard middle point, 3.41x the DEFAULT ER step)
   * cpu_f32      — XLA:CPU, exact f32 (slow: full-width nf=20 CPU
                    compile, ~6 min/seed on the 1-core host)
 
@@ -52,6 +54,8 @@ def run_variant(variant, cfg, seeds, args):
 
     if variant == "tpu_highest":
         jax.config.update("jax_default_matmul_precision", "highest")
+    elif variant == "tpu_high":
+        jax.config.update("jax_default_matmul_precision", "high")
     mats = []
     stream_cache = {}
     for seed in seeds:
@@ -77,7 +81,7 @@ def main():
     ap.add_argument("--agent", default="ER", choices=list(P.AGENT_CONFIGS))
     ap.add_argument("--variants", nargs="+",
                     default=["tpu_highest"],
-                    choices=["tpu_highest", "cpu_f32"])
+                    choices=["tpu_highest", "tpu_high", "cpu_f32"])
     ap.add_argument("--per_class", type=int, default=100)
     ap.add_argument("--difficulty", type=float, default=0.85)
     ap.add_argument("--num_tasks", type=int, default=5)
