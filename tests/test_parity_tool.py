@@ -43,17 +43,27 @@ def test_paired_stats_single_seed_nan_ci():
     rng = np.random.RandomState(1)
     row = pv.paired_stats(_mats(rng, 1), _mats(rng, 1))
     assert np.isnan(row["d_acc_ci95"])
-    assert pv._band_verdict(row) == "n=1"
+    assert pv._band_verdict("ER", row) == "n=1"
 
 
 def test_band_verdict():
-    def row(m, h):
-        return {"d_acc": m, "d_acc_ci95": h}
+    def row(m, h, arith=None):
+        r = {"d_acc": m, "d_acc_ci95": h}
+        if arith:
+            r["arith"] = arith
+        return r
 
-    assert pv._band_verdict(row(0.005, 0.002)) == "pass"
-    assert pv._band_verdict(row(-0.009, 0.5)) == "pass"
-    assert pv._band_verdict(row(0.03, 0.025)) == "pass (CI)"  # CI reaches 0.005
-    assert pv._band_verdict(row(0.08, 0.02)) == "FAIL"
+    assert pv._band_verdict("ER", row(0.005, 0.002)) == "pass"
+    assert pv._band_verdict("ER", row(-0.009, 0.5)) == "pass"
+    # CI reaches 0.005
+    assert pv._band_verdict("ER", row(0.03, 0.025)) == "pass (CI)"
+    assert pv._band_verdict("ER", row(0.08, 0.02)) == "FAIL"
+    # arithmetic policy: a cpu_f32 companion DEFINES the verdict (r3 #1)
+    exact = {"cpu_f32": {"d_acc": -0.002, "d_acc_ci95": 0.014}}
+    assert pv._band_verdict("ER", row(0.08, 0.02, exact)) == "pass @exact"
+    # a fast-path row is judged on its own column, labelled
+    assert pv._band_verdict("ER_BF16", row(0.023, 0.035)) == \
+        "pass (CI) (fast-path)"
 
 
 def test_ref_cache_key_ignores_ocl_only_keys():

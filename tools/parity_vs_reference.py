@@ -394,7 +394,12 @@ def main():
             for mode, stats in variants.items():
                 if mode == "tpu_default":  # that IS the default row
                     continue
-                results[name].setdefault("arith", {})[mode] = stats
+                # fill-only: a companion measured directly by --arith (and
+                # raw-cached under results/parity_raw/probe_*) is fresher
+                # than a committed probe summary — never clobber it (the
+                # probe JSON can predate framework fixes, e.g. SCR_REVIEW's
+                # pre-crop-fix trail, PARITY.md).
+                results[name].setdefault("arith", {}).setdefault(mode, stats)
         with open(args.json_out, "w") as f:
             json.dump(dict(args=vars(args), results=results), f, indent=1)
         write_report(args, results)
