@@ -106,7 +106,24 @@ class SupContrastReplay(ContinualLearner):
 
     def review_loss(self, params, stats, xb, yb, ctx, rng):
         """review_trick for SCR uses the two-view SupCon objective
-        (reference agents/base.py:78-80)."""
+        (reference agents/base.py:78-80).
+
+        The reference's review step ALSO runs a dead forward first —
+        `logits = self.model.forward(batch_x)` (agents/base.py:77) whose
+        result the SCR branch immediately overwrites — which still folds
+        the identity batch's moments into the BN running stats one extra
+        time, so the reference's per-review-batch BN update order is
+        [id, id, aug] where ocl's two-view loss alone gives [id, aug].
+        Train-mode forwards never read running stats, so the dead
+        forward's ONLY effect is that extra fold; pre-folding stats here
+        (under stop_gradient, outside the loss) reproduces it exactly.
+        Gated by --scr_review_dead_forward (measured by
+        tools/probe_scr_hue_law.py --dead_forward).
+        """
+        if getattr(self.params, "scr_review_dead_forward", False):
+            _, stats = forward_train(self.module, params, stats, xb)
+            stats = jax.lax.stop_gradient(stats)
+
         def loss_fn(p, st):
             return self._two_view_loss(p, st, xb, yb, None, rng)
 

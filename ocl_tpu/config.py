@@ -167,6 +167,19 @@ def build_parser() -> argparse.ArgumentParser:
                              "accuracy-parity-verified (PARITY_RESULTS.md "
                              "ER_FUSED row); pass False for the reference's "
                              "exact two-pass schedule")
+    parser.add_argument("--scr_review_dead_forward",
+                        dest="scr_review_dead_forward", default=True,
+                        type=boolean_string,
+                        help="SCR + review_trick: reproduce the reference "
+                             "review step's dead forward (agents/base.py:77 "
+                             "computes logits it immediately overwrites for "
+                             "SCR), whose only effect is folding the identity "
+                             "batch's BN moments one extra time per review "
+                             "batch ([id, id, aug] vs [id, aug]). Default "
+                             "True = reference semantics (closes a ~+1 pt "
+                             "SCR_REVIEW parity residual, "
+                             "results/scr_hue_law.json); False drops the "
+                             "extra fold (and its extra forward)")
     parser.add_argument("--scan_unroll", dest="scan_unroll",
                         default=(int(os.environ["OCL_TPU_SCAN_UNROLL"])
                                  if "OCL_TPU_SCAN_UNROLL" in os.environ

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def bilinear_sample(img, ys, xs):
@@ -118,10 +119,26 @@ def hsv_to_rgb(hsv):
     return jnp.stack([r, g, b], axis=-1)
 
 
-def color_jitter(rng, x, brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1, p=0.8):
+def color_jitter(rng, x, brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1, p=0.8,
+                 hue_law="turns"):
     """kornia ColorJitter: per-sample factors, sub-ops applied in a random
     order sampled once per batch (kornia ColorJitter forward shuffles
-    [brightness, contrast, saturation, hue] per call)."""
+    [brightness, contrast, saturation, hue] per call).
+
+    hue_law selects how the sampled hue factor hf ~ U(-hue, hue) is applied
+    (tools/probe_scr_hue_law.py measures the accuracy effect on SCR rows):
+
+    * "turns"     — torchvision semantics: shift normalized HSV hue by hf
+                    (hf in fractions of the color circle). The default.
+    * "radians"   — kornia 0.4.x semantics (the reference pins
+                    kornia==0.4.1): adjust_hue consumes the factor as
+                    RADIANS (shift = hf / 2π), so ColorJitter(..., hue=0.1)
+                    rotates hue by at most 0.1 rad ≈ 0.016 turns — a ~6×
+                    weaker augmentation than torchvision's law.
+    * "rollblend" — the parity oracle stub's cheap approximation
+                    (tools/ref_oracle.py): blend |hf| of the channel-rolled
+                    image. Same-law control for parity localization.
+    """
     B = x.shape[0]
     r_on, r_b, r_c, r_s, r_h, r_ord = jax.random.split(rng, 6)
     on = (jax.random.uniform(r_on, (B,)) < p)[:, None, None, None]
@@ -143,8 +160,13 @@ def color_jitter(rng, x, brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1, 
         return jnp.clip(img * sf + gray * (1 - sf), 0.0, 1.0)
 
     def op_hue(img):
+        if hue_law == "rollblend":
+            f = jnp.abs(hf)[..., None]  # (B,1,1,1)
+            rolled = jnp.roll(img, shift=1, axis=-1)
+            return jnp.clip((1.0 - f) * img + f * rolled, 0.0, 1.0)
+        shift = hf / (2.0 * np.pi) if hue_law == "radians" else hf
         hsv = rgb_to_hsv(img)
-        hsv = hsv.at[..., 0].set((hsv[..., 0] + hf) % 1.0)
+        hsv = hsv.at[..., 0].set((hsv[..., 0] + shift) % 1.0)
         return jnp.clip(hsv_to_rgb(hsv), 0.0, 1.0)
 
     ops = (op_brightness, op_contrast, op_saturation, op_hue)
@@ -156,11 +178,11 @@ def color_jitter(rng, x, brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1, 
     return jnp.where(on, out, x)
 
 
-def scr_transform(rng, x):
+def scr_transform(rng, x, hue_law="turns"):
     """The SCR augmentation stack (reference agents/scr.py:18-24)."""
     r1, r2, r3, r4 = jax.random.split(rng, 4)
     x = random_resized_crop(r1, x)
     x = random_hflip(r2, x)
-    x = color_jitter(r3, x)
+    x = color_jitter(r3, x, hue_law=hue_law)
     x = random_grayscale(r4, x)
     return x

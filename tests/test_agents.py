@@ -85,6 +85,53 @@ def test_scr_fused_views_match_sequential_loss():
     assert abs(losses[True] - losses[False]) < 0.5, losses
 
 
+def test_scr_review_dead_forward_folds_stats_only():
+    """--scr_review_dead_forward reproduces the reference review step's
+    dead forward (reference agents/base.py:77): loss and grads are
+    BIT-IDENTICAL with and without it (train-mode forwards never read
+    running stats), and the returned batch_stats equal pre-folding one
+    extra forward_train of the identity batch before the two-view loss
+    ([id, id, aug] vs [id, aug])."""
+    import jax
+    import jax.numpy as jnp
+
+    from ocl_tpu.config import default_params
+    from ocl_tpu.models import forward_train
+    from ocl_tpu.registry import agents
+
+    xb = jnp.ones((8, 32, 32, 3), jnp.float32) * 0.5
+    yb = jnp.arange(8) % 4
+    rng = jax.random.PRNGKey(1)
+    out = {}
+    for dead in (False, True):
+        p = default_params(data="synthetic", agent="SCR", mem_size=50,
+                           batch=8, eps_mem_batch=8, nf=4, verbose=False,
+                           review_trick=True, scr_review_dead_forward=dead)
+        agent = agents["SCR"](p)
+        state = agent.init_state(jax.random.PRNGKey(0))
+        out[dead] = (agent.review_loss(state.params, state.batch_stats,
+                                       xb, yb, None, rng),
+                     agent, state)
+    (loss0, grads0, st0), _, _ = out[False]
+    (loss1, grads1, st1), agent, state = out[True]
+    assert float(loss0) == float(loss1)
+    for g0, g1 in zip(jax.tree_util.tree_leaves(grads0),
+                      jax.tree_util.tree_leaves(grads1)):
+        np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+    # stats differ, and equal the manual pre-fold composition
+    _, prefolded = forward_train(agent.module, state.params,
+                                 state.batch_stats, xb)
+    (_, _, st_manual) = out[False][1].review_loss(
+        state.params, prefolded, xb, yb, None, rng)
+    for a, b in zip(jax.tree_util.tree_leaves(st1),
+                    jax.tree_util.tree_leaves(st_manual)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    changed = any(not np.array_equal(np.asarray(a), np.asarray(b))
+                  for a, b in zip(jax.tree_util.tree_leaves(st0),
+                                  jax.tree_util.tree_leaves(st1)))
+    assert changed, "dead forward should move the BN running stats"
+
+
 def test_error_analysis_eval_prints_and_accumulates(capsys, tmp_path,
                                                     monkeypatch):
     """--error_analysis eval matches the reference's console surface

@@ -90,7 +90,11 @@ AGENT_CONFIGS = {
     "SCR_REVIEW": dict(agent="SCR", update="random", retrieve="random",
                        head="mlp", temp=0.1, eps_mem_batch=100,
                        learning_rate=0.1, review_trick=True,
-                       fused_replay=False),
+                       fused_replay=False,
+                       # explicit (it IS the default) for ocl cache-key
+                       # hygiene: pre-dead-forward cached matrices live at
+                       # the key without it
+                       scr_review_dead_forward=True),
     # review-pass mechanics in isolation (CE loss, no augs/SupCon):
     # localizes SCR_REVIEW's residual between the shared review-pass
     # machinery and the contrastive/augmentation coupling
@@ -127,7 +131,7 @@ AGENT_CONFIGS = {
 
 # param keys that only exist on the ocl side (the reference ignores them);
 # stripped before hashing/running the torch side so variant rows share runs
-OCL_ONLY_KEYS = {"fused_replay", "compute_dtype"}
+OCL_ONLY_KEYS = {"fused_replay", "compute_dtype", "scr_review_dead_forward"}
 
 DEFAULT_SWEEP = [n for n in AGENT_CONFIGS
                  if n != "CNDPM" and not n.startswith("ICARL_")]

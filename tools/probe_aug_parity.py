@@ -135,6 +135,55 @@ def pixel_moments():
                 stub_mean=t_mean, stub_std=t_std)
 
 
+def hue_law_stats():
+    """Isolated hue-op divergence: the three candidate laws on the same
+    pixels and the same sampled factors hf ~ U(-0.1, 0.1).
+
+    * turns     — ocl's default: HSV rotation by hf turns (torchvision law)
+    * radians   — kornia-0.4.1 semantics: HSV rotation by hf/2π turns
+    * rollblend — the oracle stub's approximation: blend |hf| of the
+                  channel-rolled image (desaturates; hue rotation doesn't)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ocl_tpu.ops.augment import rgb_to_hsv, hsv_to_rgb
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(2048, 8, 8, 3).astype(np.float32))
+    hf = jax.random.uniform(jax.random.PRNGKey(0), (2048, 1, 1),
+                            minval=-0.1, maxval=0.1)
+
+    def rotate(shift):
+        hsv = rgb_to_hsv(x)
+        hsv = hsv.at[..., 0].set((hsv[..., 0] + shift) % 1.0)
+        return jnp.clip(hsv_to_rgb(hsv), 0.0, 1.0)
+
+    f = jnp.abs(hf)[..., None]
+    laws = {
+        "turns": rotate(hf),
+        "radians": rotate(hf / (2.0 * np.pi)),
+        "rollblend": jnp.clip((1 - f) * x + f * jnp.roll(x, 1, axis=-1),
+                              0.0, 1.0),
+    }
+    s0 = float(jnp.mean(rgb_to_hsv(x)[..., 1]))
+    rows = {}
+    print("\nhue-op divergence (same pixels, same hf ~ U(-0.1, 0.1)):")
+    print("| law | mean |dpx| | std dpx | mean saturation (orig {:.4f}) |".format(s0))
+    print("|---|---|---|---|")
+    for name, y in laws.items():
+        d = y - x
+        rows[name] = dict(
+            mean_abs_dpx=round(float(jnp.mean(jnp.abs(d))), 4),
+            std_dpx=round(float(jnp.std(d)), 4),
+            sat_mean=round(float(jnp.mean(rgb_to_hsv(y)[..., 1])), 4))
+        r = rows[name]
+        print("| {} | {} | {} | {} |".format(
+            name, r["mean_abs_dpx"], r["std_dpx"], r["sat_mean"]))
+    rows["orig_sat_mean"] = round(s0, 4)
+    return rows
+
+
 def main():
     from ocl_tpu.config import apply_platform_env
 
@@ -149,7 +198,8 @@ def main():
             summarize("jnp clip (legacy)", *jnp_box_stats(False)),
             summarize("oracle torch stub (torchvision law)",
                       *torch_stub_box_stats())]
-    out = dict(crop_geometry=rows, pixels=pixel_moments())
+    out = dict(crop_geometry=rows, pixels=pixel_moments(),
+               hue_laws=hue_law_stats())
     path = os.path.join(REPO, "results", "aug_parity_probe.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
