@@ -120,7 +120,10 @@ class SupContrastReplay(ContinualLearner):
         Gated by --scr_review_dead_forward (measured by
         tools/probe_scr_hue_law.py --dead_forward).
         """
-        if getattr(self.params, "scr_review_dead_forward", False):
+        # fallback True matches the config default (reference semantics);
+        # params namespaces built without the key must not silently drop
+        # the reference's extra BN fold (ADVICE r4)
+        if getattr(self.params, "scr_review_dead_forward", True):
             _, stats = forward_train(self.module, params, stats, xb)
             stats = jax.lax.stop_gradient(stats)
 

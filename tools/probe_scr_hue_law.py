@@ -129,8 +129,12 @@ def main():
         stream_cache = {}
         ref_mats = [P.get_side("ref", name, cfg, s, args, stream_cache)[0]
                     for s in seeds]
-        if args.dead_forward:
-            cfg[DEAD_FWD_KEY] = True  # changes the ocl cache key too
+        # set unconditionally: AGENT_CONFIGS[SCR_REVIEW] now carries the key
+        # with default True, so the no-dead-fwd baseline variants must
+        # explicitly force it off (ADVICE r4 — otherwise --dead_forward is a
+        # no-op and a rerun would overwrite the committed no-dead-fwd rows
+        # with mislabeled dead-fwd-on numbers)
+        cfg[DEAD_FWD_KEY] = bool(args.dead_forward)  # changes the cache key
         for law in args.laws:
             variant = law + ("+deadfwd" if args.dead_forward else "")
             ocl_mats = run_law(law, name, cfg, seeds, args, variant=variant)
