@@ -1,12 +1,14 @@
 """Benchmark suite: per-strategy online-stream throughput on the local device.
 
-One metric per config (VERDICT r1 #4): ER (f32 + bf16), MIR, GSS, ASER, SCR
-at its paper shape, CN-DPM, GDumb retraining, and the NCM-classifier eval
-sweep — the strategies whose kernels (KNN-SV, per-sample grads, stacked-slot
-experts) are the framework's hot paths. Suite rows print as "SUITE ..."
-lines and persist to BENCH_SUITE.json; stdout carries exactly ONE JSON line
-(the headline ER stream number with {"metric","value","unit","vs_baseline"}),
-which is the driver's contract.
+One metric per config (VERDICT r1 #4): ER (f32 + bf16), MIR, GSS (iid +
+class-incremental), ASER, SCR at its paper shape (f32 + bf16), CN-DPM, GDumb
+retraining, and the NCM-classifier eval sweep — the strategies whose kernels
+(KNN-SV, per-sample grads, stacked-slot experts) are the framework's hot
+paths. Suite rows print as "SUITE ..." lines and persist to
+BENCH_SUITE.json; each row carries measured_round (the build round whose code
+it was measured on) and rows re-measure stalest-first under the time budget.
+stdout carries exactly ONE JSON line (the headline ER stream number with
+{"metric","value","unit","vs_baseline"}), which is the driver's contract.
 
 Each agent config mirrors the reference's hot loop at its default shape
 (reference agents/exp_replay.py:34-92, scr.py:37-91, gdumb.py:52-83,
@@ -27,6 +29,11 @@ import os
 import time
 
 TORCH_CPU_BASELINE_IMGS_PER_SEC = 45.3  # measured: tools/measure_torch_baseline.py
+
+# stamped into every row measured by this run; bump when the build round
+# advances so a budget-truncated rerun can order rows stalest-first and a
+# reader can tell which code version a number was measured on
+BENCH_ROUND = 5
 
 # dense bf16 peak FLOP/s per chip, by jax device_kind prefix
 PEAK_FLOPS = {
@@ -313,11 +320,20 @@ def main():
     # the suite starve the headline JSON line the driver waits for
     SUITE_BUDGET_S = float(os.environ.get("OCL_TPU_BENCH_BUDGET", "900"))
 
-    def emit(thunk, label=""):
+    try:
+        with open("BENCH_SUITE.json") as f:
+            prior_rows = {r.get("metric"): r for r in json.load(f)}
+    except Exception:
+        prior_rows = {}
+
+    def emit(thunk, label="", note=None):
         if time.time() - t0 > SUITE_BUDGET_S:
             print("SUITE skipped (time budget): " + label)
             return
         row = thunk()
+        row["measured_round"] = BENCH_ROUND
+        if note:
+            row["note"] = note
         # suite rows print as prefixed (non-JSON) lines so the driver's
         # one-JSON-line contract stays unambiguous; the full suite is
         # persisted to BENCH_SUITE.json
@@ -332,43 +348,18 @@ def main():
     er = bench_stream_agent("er_stream_throughput", 500, mem_size=1000,
                             agent="ER", batch=10, eps_mem_batch=10)
     er["mode"] = "fused"
+    er["measured_round"] = BENCH_ROUND
 
-    emit(lambda: bench_stream_agent(
-        "er_bf16_stream_throughput", 500, agent="ER", mem_size=1000,
-        batch=10, eps_mem_batch=10, compute_dtype="bf16"), "er_bf16")
-    emit(lambda: bench_stream_agent(
-        "er_mir_stream_throughput", 300, agent="ER", retrieve="MIR",
-        subsample=50, mem_size=1000, batch=10, eps_mem_batch=10), "er_mir")
-    # cond_mode min: the gradient bank + per-sample scoring live inside the
-    # data-dependent replace branch (buffer/gss.py jvp gate); min counts the
-    # always-executed gate path, so GSS MFU errs low like CN-DPM's
-    emit(lambda: bench_stream_agent(
-        "er_gss_stream_throughput", 200, agent="ER", update="GSS",
-        gss_batch_size=10, gss_mem_strength=10, mem_size=1000, batch=10,
-        eps_mem_batch=10, flops_cond_mode="min"), "er_gss")
-    # the honest-regime GSS row (VERDICT r3 #4): class-incremental labels
-    # make the jvp gate actually fire (task transitions push gradient
-    # cosines negative), so this row pays the bank on a realistic fraction
-    # of steps instead of the iid row's never-firing gate
-    emit(lambda: bench_stream_agent(
-        "er_gss_classinc_stream_throughput", 300, agent="ER", update="GSS",
-        gss_batch_size=10, gss_mem_strength=10, mem_size=1000, batch=10,
-        eps_mem_batch=10, flops_cond_mode="min", class_incremental=True),
-        "er_gss_classinc")
-    emit(lambda: bench_stream_agent(
-        "aser_asvm_stream_throughput", 200, agent="ER", update="ASER",
-        retrieve="ASER", aser_type="asvm", k=5, n_smp_cls=2.0, mem_size=1000,
-        batch=10, eps_mem_batch=10), "aser")
-    emit(lambda: bench_stream_agent(
-        "scr_stream_throughput", 200, agent="SCR", retrieve="random",
-        mem_size=1000, batch=10, eps_mem_batch=100, head="mlp", temp=0.07),
-        "scr")
-    # MXU-friendly shape (NOT a reference-parity config — the reference fixes
-    # batch=10): shows the step MFU the framework reaches when the workload
-    # lets the systolic array fill (VERDICT r2 #6)
-    emit(lambda: bench_stream_agent(
-        "er_batch128_bf16_throughput", 200, agent="ER", mem_size=1000,
-        batch=128, eps_mem_batch=128, compute_dtype="bf16"), "er_batch128")
+    # proven-floor annotations (VERDICT r4 weak #5): these rows run at low
+    # MFU because the workload's physics bound them, not because the kernel
+    # is unfinished — the suite should say so on the row itself
+    GSS_NOTE = ("grouped-conv gradient-bank floor: the im2col alternative "
+                "was built and measured slower (8.09 vs 4.39 ms); the jvp "
+                "gate already skips the bank on non-replace steps "
+                "(docs/PERFORMANCE.md §GSS)")
+    CNDPM_NOTE = ("bounded by the reference's 16-z-sample VAE NLL inside "
+                  "the wake routing; sleep charged via cond_mode=min "
+                  "(docs/PERFORMANCE.md §CN-DPM)")
 
     # CN-DPM: small sleep budgets bound the bench (full defaults sleep for
     # 5000 steps — a training run, not a step benchmark); 2 sleeps included.
@@ -385,9 +376,58 @@ def main():
         finally:
             V.VAE_Z_SAMPLES = old_z
 
-    emit(cndpm_row, "cndpm")
-    emit(bench_gdumb, "gdumb")
-    emit(bench_ncm_eval, "ncm_eval")
+    # the suite, keyed by metric. GSS cond_mode=min: the gradient bank +
+    # per-sample scoring live inside the data-dependent replace branch
+    # (buffer/gss.py jvp gate); min counts the always-executed gate path, so
+    # GSS MFU errs low like CN-DPM's. The class-incremental GSS row is the
+    # honest-regime one (VERDICT r3 #4): task transitions make the jvp gate
+    # actually fire (~49% of full-buffer steps vs 0% iid). er_batch128 is an
+    # MXU-friendly shape (NOT a reference-parity config — the reference fixes
+    # batch=10): the step MFU when the workload lets the systolic array fill.
+    SUITE = [
+        ("er_bf16_stream_throughput", None, lambda: bench_stream_agent(
+            "er_bf16_stream_throughput", 500, agent="ER", mem_size=1000,
+            batch=10, eps_mem_batch=10, compute_dtype="bf16")),
+        ("er_mir_stream_throughput", None, lambda: bench_stream_agent(
+            "er_mir_stream_throughput", 300, agent="ER", retrieve="MIR",
+            subsample=50, mem_size=1000, batch=10, eps_mem_batch=10)),
+        ("er_gss_stream_throughput", GSS_NOTE, lambda: bench_stream_agent(
+            "er_gss_stream_throughput", 200, agent="ER", update="GSS",
+            gss_batch_size=10, gss_mem_strength=10, mem_size=1000, batch=10,
+            eps_mem_batch=10, flops_cond_mode="min")),
+        ("er_gss_classinc_stream_throughput", GSS_NOTE,
+         lambda: bench_stream_agent(
+            "er_gss_classinc_stream_throughput", 300, agent="ER",
+            update="GSS", gss_batch_size=10, gss_mem_strength=10,
+            mem_size=1000, batch=10, eps_mem_batch=10, flops_cond_mode="min",
+            class_incremental=True)),
+        ("aser_asvm_stream_throughput", None, lambda: bench_stream_agent(
+            "aser_asvm_stream_throughput", 200, agent="ER", update="ASER",
+            retrieve="ASER", aser_type="asvm", k=5, n_smp_cls=2.0,
+            mem_size=1000, batch=10, eps_mem_batch=10)),
+        ("scr_stream_throughput", None, lambda: bench_stream_agent(
+            "scr_stream_throughput", 200, agent="SCR", retrieve="random",
+            mem_size=1000, batch=10, eps_mem_batch=100, head="mlp",
+            temp=0.07)),
+        # SCR under the framework's own fast path (VERDICT r4 #5); parity at
+        # bf16 is pinned by the SCR_BF16 row in PARITY_RESULTS.md
+        ("scr_bf16_stream_throughput", None, lambda: bench_stream_agent(
+            "scr_bf16_stream_throughput", 200, agent="SCR", retrieve="random",
+            mem_size=1000, batch=10, eps_mem_batch=100, head="mlp",
+            temp=0.07, compute_dtype="bf16")),
+        ("er_batch128_bf16_throughput", None, lambda: bench_stream_agent(
+            "er_batch128_bf16_throughput", 200, agent="ER", mem_size=1000,
+            batch=128, eps_mem_batch=128, compute_dtype="bf16")),
+        ("cndpm_stream_throughput", CNDPM_NOTE, cndpm_row),
+        ("gdumb_retrain_throughput", None, bench_gdumb),
+        ("ncm_eval_throughput", None, bench_ncm_eval),
+    ]
+    # stalest-first (VERDICT r4 #2): a budget-truncated rerun refreshes the
+    # oldest rows instead of re-measuring the same leading few. Never-measured
+    # metrics sort first; ties keep the declaration order above.
+    SUITE.sort(key=lambda e: prior_rows.get(e[0], {}).get("measured_round", -1))
+    for metric, note, thunk in SUITE:
+        emit(thunk, metric, note=note)
 
     # full-budget CN-DPM sleep (SLEEP_STEP_G/D=4000/1000, stm 1000) is a
     # training run, not a step benchmark — tools/cndpm_full_budget.py runs it

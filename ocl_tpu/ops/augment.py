@@ -35,10 +35,18 @@ def bilinear_sample(img, ys, xs):
 
 def crop_resize(img, y0, x0, h, w):
     """Crop box (y0,x0,h,w) and resize back to img's own HxW, bilinearly
-    (half-pixel centers == align_corners=False)."""
+    (half-pixel centers == align_corners=False).
+
+    Coords are CLAMPED to the box ([y0, y0+h-1] x [x0, x0+w-1]): torch
+    crops first (a hard slice) and interpolates the slice with edge
+    replication, so border output pixels must never blend in image pixels
+    from OUTSIDE the box. Sampling the full image without the clamp leaked
+    out-of-box neighbors into the border ring (up to 0.21 per channel on
+    32x32 crops) — bit-parity with F.interpolate(crop) is pinned in
+    tests/test_augment.py."""
     H, W = img.shape[0], img.shape[1]
-    ys = y0 + (jnp.arange(H) + 0.5) * h / H - 0.5
-    xs = x0 + (jnp.arange(W) + 0.5) * w / W - 0.5
+    ys = jnp.clip(y0 + (jnp.arange(H) + 0.5) * h / H - 0.5, y0, y0 + h - 1)
+    xs = jnp.clip(x0 + (jnp.arange(W) + 0.5) * w / W - 0.5, x0, x0 + w - 1)
     return bilinear_sample(img, ys, xs)
 
 

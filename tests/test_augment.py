@@ -70,6 +70,29 @@ def test_random_resized_crop_matches_torch_geometry_law():
     assert float(ratio.min()) > 0.65 and float(ratio.max()) < 1.55
 
 
+def test_crop_resize_matches_torch_interpolate():
+    """crop_resize == torch crop-then-F.interpolate, INCLUDING the border
+    ring: torch hard-slices the box, so resize edge-replication must never
+    blend in pixels from outside the box. The pre-fix sampler walked the
+    full image at box coords and leaked out-of-box neighbors into border
+    output pixels (up to 0.21/channel on 32x32) — the SCR_REVIEW act-three
+    suspect (PARITY.md). Reference aug: kornia RandomResizedCrop
+    (agents/scr.py:18-24), whose resize is align_corners=False bilinear."""
+    import torch
+    import torch.nn.functional as F
+
+    g = np.random.RandomState(3)
+    x = g.rand(32, 32, 3).astype(np.float32)
+    for y0, x0, h, w in [(0, 0, 32, 32), (5, 9, 13, 17), (0, 3, 7, 29),
+                         (25, 25, 7, 7), (2, 2, 28, 3), (31, 0, 1, 32)]:
+        ours = np.asarray(augment.crop_resize(jnp.asarray(x), y0, x0, h, w))
+        crop = torch.from_numpy(x[y0:y0 + h, x0:x0 + w]).permute(2, 0, 1)[None]
+        want = F.interpolate(crop, size=(32, 32), mode="bilinear",
+                             align_corners=False)[0].permute(1, 2, 0).numpy()
+        np.testing.assert_allclose(ours, want, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"box {(y0, x0, h, w)}")
+
+
 def test_random_grayscale():
     x = _imgs()
     out = np.asarray(augment.random_grayscale(jax.random.PRNGKey(2), x, p=1.0))

@@ -3,8 +3,11 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ocl_tpu.buffer.reservoir import reservoir_update
+
+pytestmark = pytest.mark.smoke
 from ocl_tpu.buffer.retrieve import class_balanced_sample, random_retrieve
 from ocl_tpu.buffer.state import init_buffer, valid_mask
 

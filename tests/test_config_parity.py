@@ -16,10 +16,13 @@ import yaml
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = os.environ.get("OCL_REFERENCE_DIR", "/root/reference")
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REFERENCE, "config")),
-    reason="reference checkout not available",
-)
+pytestmark = [
+    pytest.mark.smoke,
+    pytest.mark.skipif(
+        not os.path.isdir(os.path.join(REFERENCE, "config")),
+        reason="reference checkout not available",
+    ),
+]
 
 
 def _yaml_files(root):

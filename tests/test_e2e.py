@@ -4,10 +4,13 @@ Counterpart of running reference general_main.py on a small stream; uses a
 narrow backbone (nf=4) to keep CPU compile time in CI budget.
 """
 
+import pytest
+
 from ocl_tpu.config import default_params
 from ocl_tpu.experiment.run import multiple_run
 
 
+@pytest.mark.smoke
 def test_er_learns_synthetic_stream():
     p = default_params(data="synthetic", num_runs=1, num_tasks=3, mem_size=150,
                        eps_mem_batch=10, synthetic_size=60, verbose=False,

@@ -1,8 +1,11 @@
 """compute_performance oracle tests (reference experiment/metrics.py math)."""
 
 import numpy as np
+import pytest
 
 from ocl_tpu.experiment.metrics import compute_performance, single_run_avg_end_fgt
+
+pytestmark = pytest.mark.smoke
 
 
 def test_compute_performance_hand_case():

@@ -122,6 +122,17 @@ def test_golden_parity(name):
     assert abs(ref_acc - ocl_acc) < 0.05, (name, ref_acc, ocl_acc)
 
 
+@pytest.mark.smoke
+def test_golden_parity_er_smoke():
+    """2-seed ER golden pin for the `-m smoke` tier: one scan compile, two
+    cheap replays — certifies the whole train path against a committed
+    torch-oracle matrix without the full 5-seed, 7-agent sweep. The wider
+    0.08 band reflects the 2-seed variance (full-band coverage is
+    test_golden_parity / PARITY_RESULTS.md)."""
+    ref_acc, ocl_acc = _golden_compare("ER", seeds=(1, 2))
+    assert abs(ref_acc - ocl_acc) < 0.08, (ref_acc, ocl_acc)
+
+
 def test_golden_parity_cndpm():
     """CN-DPM at the CI-shrunk sleep budget (100/50, identical on both
     frameworks: the goldens were generated with the reference's module

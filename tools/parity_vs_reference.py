@@ -114,6 +114,13 @@ AGENT_CONFIGS = {
     # torch reference — pins the mixed-precision mode's accuracy budget.
     "ER_BF16": dict(agent="ER", update="random", retrieve="random",
                     compute_dtype="bf16"),
+    # SCR under the same fast path (VERDICT r4 #5): shares the cached torch
+    # SCR matrices (compute_dtype is OCL_ONLY); pins bf16's accuracy budget
+    # on the SupCon two-view/NCM path before the suite's scr_bf16 row can be
+    # read as a free speedup.
+    "SCR_BF16": dict(agent="SCR", update="random", retrieve="random",
+                     head="mlp", temp=0.07, eps_mem_batch=50,
+                     fused_replay=False, compute_dtype="bf16"),
     # iCaRL delta ablations (VERDICT r2 weak #6): ocl-only toggles compared
     # against the same cached reference ICARL runs — isolates which
     # implementation choice moves the delta.
@@ -464,7 +471,7 @@ def main():
 
 # rows whose SUBJECT is a fast arithmetic mode: judged on their own column,
 # labelled so the reader knows the delta is the mode's documented cost
-FASTPATH_ROWS = {"ER_BF16"}
+FASTPATH_ROWS = {"ER_BF16", "SCR_BF16"}
 
 
 def _band(m, h):
@@ -519,9 +526,9 @@ def write_report(args, results):
         "Where a row has an exact-f32 companion (ocl on XLA:CPU — the same",
         "IEEE f32 arithmetic as torch; 'Δacc exact-f32' column), the verdict",
         "is DEFINED on that column ('@exact') and the default-precision Δacc",
-        "stands as the documented fast-path arithmetic cost. ER_BF16's",
-        "subject IS a fast arithmetic mode, so it is judged on its own",
-        "column and labelled '(fast-path)'.",
+        "stands as the documented fast-path arithmetic cost. ER_BF16 and",
+        "SCR_BF16's subjects ARE fast arithmetic modes, so they are judged",
+        "on their own column and labelled '(fast-path)'.",
         "",
         "| Agent | n | ref acc | ocl acc | Δacc ± CI (default) | Δacc exact-f32 | ref fgt | ocl fgt | Δfgt ± CI | verdict |",
         "|---|---|---|---|---|---|---|---|---|---|",
@@ -581,9 +588,9 @@ def write_report(args, results):
         f"{CNDPM_SLEEP_G}/{CNDPM_SLEEP_D} steps (from 4000/1000) and",
         "stm_capacity 200 to fit the torch-CPU oracle budget",
         "(tools/cndpm_full_budget.py runs the full 4000/1000 budget on TPU).",
-        "ER_FUSED / SCR_FUSED / ER_BF16 are ocl-only modes compared against",
-        "the plain reference ER / SCR (they validate the fused and bf16",
-        "fast paths against the reference's exact schedule).",
+        "ER_FUSED / SCR_FUSED / ER_BF16 / SCR_BF16 are ocl-only modes",
+        "compared against the plain reference ER / SCR (they validate the",
+        "fused and bf16 fast paths against the reference's exact schedule).",
         "ER_LABELS / ER_KD / SCR_REVIEW are trick-combination rows",
         "(labels_trick, kd_trick, and the CVPR SCR recipe with review_trick).",
         "ICARL_NOEXCL / ICARL_EVALBN / ICARL_ZEROMEAN are ocl-side ablations",
