@@ -58,6 +58,14 @@ sys.path.insert(0, REPO)
 
 RAW_DIR = os.path.join(REPO, "results", "parity_raw")
 
+# Bump when an ocl-side NUMERICS change invalidates cached ocl matrices
+# (e.g. the round-5 crop_resize out-of-box-leak fix silently staled every
+# SCR-family ocl cache and they had to be hand-deleted). None keeps the
+# legacy digests; a string folds into every ocl-side digest so stale
+# matrices are orphaned instead of silently reused. Ref-side torch digests
+# never carry it (the oracle's numerics are frozen by the reference).
+OCL_NUMERICS_VERSION = None
+
 # Agent configurations compared. Keys are report rows; values are param
 # overrides shared by both frameworks (flag names are the parity contract).
 # Keys in OCL_ONLY_KEYS (and abl_* keys) are invisible to the reference side,
@@ -212,6 +220,8 @@ def _cache_key(side, cfg, seed, args):
         base["cfg"] = _ref_cfg(cfg)
     else:
         base["cfg"] = dict(sorted(cfg.items()))
+        if OCL_NUMERICS_VERSION is not None:
+            base["ocl_numerics"] = OCL_NUMERICS_VERSION
     if base["cfg"].get("agent") == "CNDPM":
         base["cndpm_sleep"] = [CNDPM_SLEEP_G, CNDPM_SLEEP_D]
     return os.path.join(RAW_DIR, "{}_{}.npy".format(side, _digest(base)))
