@@ -68,6 +68,42 @@ def test_tune_hyper_parallel_selects_grid_point():
     assert best in parameter_grid(tune_params)
 
 
+def test_stacked_task_fn_honors_per_point_lr():
+    """lr injection through the FULL stacked task fn: an lr-0 point must stay
+    bit-identical to init while an lr-0.1 point moves (guards against any
+    future step-path change that silently re-bakes agent0's lr for every
+    stacked point)."""
+    from ocl_tpu.agents.base import TaskCtx
+    from ocl_tpu.experiment.parallel_run import _stack
+    from ocl_tpu.experiment.tune import _merged
+    from ocl_tpu.registry import agents
+
+    p = default_params(data="synthetic", agent="ER", mem_size=20, batch=4,
+                       eps_mem_batch=4, nf=4, verbose=False, num_runs_val=1)
+    ags = [agents["ER"](_merged(p, {"learning_rate": lr, "inject_hp": True}))
+           for lr in (0.0, 0.1)]
+    a0 = ags[0]
+    s = a0.init_state(jax.random.PRNGKey(1000))
+    stacked = _stack([s.replace(opt_state=a.tx.init(s.params)) for a in ags])
+    task_fn = jax.jit(jax.vmap(a0._build_train_task_fn(),
+                               in_axes=(0, None, None, None)))
+    g = np.random.RandomState(0)
+    xs = jnp.asarray(g.rand(4, 4, 32, 32, 3).astype(np.float32))
+    ys = jnp.asarray(g.randint(0, 2, (4, 4)))
+    ctx = TaskCtx(old_mask=jnp.zeros(10, bool),
+                  new_mask=jnp.asarray([True] * 2 + [False] * 8),
+                  task_seen=jnp.asarray(0, jnp.int32))
+    out, _ = task_fn(stacked, ctx, xs, ys)
+    deltas = [
+        sum(float(jnp.abs(a[i] - b).sum())
+            for a, b in zip(jax.tree_util.tree_leaves(out.params),
+                            jax.tree_util.tree_leaves(s.params)))
+        for i in range(2)
+    ]
+    assert deltas[0] == 0.0  # lr=0 point: bit-identical to init
+    assert deltas[1] > 1.0   # lr=0.1 point: trained
+
+
 def test_supports_parallel_grid_gating():
     from ocl_tpu.experiment.parallel_tune import supports_parallel_grid
 
