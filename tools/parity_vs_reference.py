@@ -360,6 +360,43 @@ def paired_stats(ref_mats, ocl_mats):
 
 # -------------------------------------------------------------------- main
 
+def _load_rows(json_out, per_class):
+    """Freshest on-disk results in the current schema (CI-bearing rows)."""
+    try:
+        with open(json_out) as f:
+            prior = json.load(f)
+        if prior.get("args", {}).get("per_class") == per_class:
+            return {k: v for k, v in prior.get("results", {}).items()
+                    if "d_acc_ci95" in v}
+    except Exception:
+        pass
+    return {}
+
+
+def _flush(args, own_default, own_arith):
+    """Merge THIS process's rows into the freshest on-disk results and write.
+
+    Concurrent parity runs own disjoint (row, arith) cells; re-reading the
+    json at write time (instead of holding the startup snapshot) means a
+    long-running job can no longer revert cells another job landed while it
+    was computing."""
+    rows = _load_rows(args.json_out, args.per_class)
+    for name, row in own_default.items():
+        merged = dict(row)
+        arith = dict(rows.get(name, {}).get("arith", {}))
+        arith.update(own_arith.get(name, {}))
+        merged["arith"] = arith
+        rows[name] = merged
+    for name, modes in own_arith.items():
+        if name in own_default:
+            continue
+        if name in rows:
+            rows[name].setdefault("arith", {}).update(modes)
+    with open(args.json_out, "w") as f:
+        json.dump(dict(args=vars(args), results=rows), f, indent=1)
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--agents", nargs="+", default=DEFAULT_SWEEP,
@@ -442,6 +479,7 @@ def main():
         _patch_cndpm_constants()
 
     stream_cache = {}
+    own_default, own_arith = {}, {}
     for name in args.agents:
         cfg = AGENT_CONFIGS[name]
         t0 = time.time()
@@ -459,21 +497,19 @@ def main():
         row = paired_stats(ref_mats, ocl_mats)
         row["seconds"] = round(time.time() - t0, 1)
         if args.arith != "default":
-            if name not in results:
+            if name not in _load_rows(args.json_out, args.per_class):
                 sys.exit("no default-arithmetic row for {} — run it first "
                          "so the report has both columns".format(name))
-            results[name].setdefault("arith", {})[args.arith] = row
+            own_arith.setdefault(name, {})[args.arith] = row
         else:
-            row["arith"] = results.get(name, {}).get("arith", {})
-            results[name] = row
+            own_default[name] = row
         print("[{}{}] dacc {:+.3f}±{:.3f} dfgt {:+.3f}±{:.3f} "
               "dpeak {:+.3f}±{:.3f} ({} seeds)".format(
                   name, "" if args.arith == "default" else " " + args.arith,
                   row["d_acc"], row["d_acc_ci95"], row["d_fgt"],
                   row["d_fgt_ci95"], row["d_peak"], row["d_peak_ci95"],
                   row["seeds"]), flush=True)
-        with open(args.json_out, "w") as f:
-            json.dump(dict(args=vars(args), results=results), f, indent=1)
+        results = _flush(args, own_default, own_arith)
 
     if not args.ref_only:
         write_report(args, results)
