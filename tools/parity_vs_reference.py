@@ -373,14 +373,20 @@ def _load_rows(json_out, per_class):
     return {}
 
 
-def _flush(args, own_default, own_arith):
+def _flush(args, own_default, own_arith, startup_rows=None):
     """Merge THIS process's rows into the freshest on-disk results and write.
 
     Concurrent parity runs own disjoint (row, arith) cells; re-reading the
     json at write time (instead of holding the startup snapshot) means a
     long-running job can no longer revert cells another job landed while it
-    was computing."""
-    rows = _load_rows(args.json_out, args.per_class)
+    was computing. The startup snapshot still serves as a FLOOR: a row this
+    process saw at launch can never vanish from the written file (guards
+    against a torn concurrent read of json_out returning {} and against any
+    intermediate state that dropped a row — no tool ever deletes rows, so
+    resurrecting an absent one is always correct). Freshest-on-disk cells
+    take precedence over the floor; own rows take precedence over both."""
+    rows = dict(startup_rows or {})
+    rows.update(_load_rows(args.json_out, args.per_class))
     for name, row in own_default.items():
         merged = dict(row)
         arith = dict(rows.get(name, {}).get("arith", {}))
@@ -441,6 +447,7 @@ def main():
                            if "d_acc_ci95" in v}
         except Exception:
             pass
+    startup_rows = dict(results)
 
     if args.import_probe:
         probe_path = os.path.join(REPO, "results", "er_drift_probe.json")
@@ -509,7 +516,8 @@ def main():
                   row["d_acc"], row["d_acc_ci95"], row["d_fgt"],
                   row["d_fgt_ci95"], row["d_peak"], row["d_peak_ci95"],
                   row["seeds"]), flush=True)
-        results = _flush(args, own_default, own_arith)
+        results = _flush(args, own_default, own_arith,
+                         startup_rows=startup_rows)
 
     if not args.ref_only:
         write_report(args, results)
