@@ -87,3 +87,80 @@ def test_ref_cache_key_ignores_ocl_only_keys():
     assert k_mir != k_plain
     k_seed = pv._cache_key("ref", dict(base, fused_replay=False), 1, a)
     assert k_seed != k_plain
+
+
+# ------------------------------------------------------- _flush merge law
+
+def _row(d_acc, tag=None):
+    r = {"d_acc": d_acc, "d_acc_ci95": 0.01, "seeds": 10}
+    if tag:
+        r["tag"] = tag
+    return r
+
+
+def _flush_args(tmp_path):
+    import argparse
+
+    # instance attributes, so _flush's vars(args) round-trips per_class
+    return argparse.Namespace(json_out=str(tmp_path / "parity.json"),
+                              per_class=100)
+
+
+def test_flush_startup_floor_resurrects_dropped_rows(tmp_path):
+    """A row seen at process startup can never vanish from the written file,
+    even if a torn concurrent read (or an intermediate bad state) dropped it
+    from disk while this process was computing."""
+    import json
+
+    args = _flush_args(tmp_path)
+    startup = {"SCR_BF16": _row(0.013, "startup")}
+    # disk state at flush time: empty (torn read path returns {})
+    with open(args.json_out, "w") as f:
+        json.dump({"args": {"per_class": 100}, "results": {}}, f)
+    rows = pv._flush(args, {"GSS": _row(-0.01)}, {}, startup_rows=startup)
+    assert rows["SCR_BF16"]["tag"] == "startup"   # resurrected
+    assert "GSS" in rows
+    on_disk = pv._load_rows(args.json_out, 100)
+    assert set(on_disk) == {"SCR_BF16", "GSS"}
+
+
+def test_flush_disk_beats_floor_and_own_beats_disk(tmp_path):
+    """Precedence: freshest-on-disk cells override the startup floor; this
+    process's own rows override both. Arith companions merge per-cell."""
+    import json
+
+    args = _flush_args(tmp_path)
+    startup = {
+        "ER": _row(0.001, "stale"),
+        "ASER": dict(_row(0.002, "stale"),
+                     arith={"tpu_highest": {"d_acc": -0.035}}),
+    }
+    disk = {
+        "ER": _row(0.003, "fresh-disk"),          # another job updated ER
+        "ASER": dict(_row(0.004, "fresh-disk"),
+                     arith={"tpu_highest": {"d_acc": -0.030}}),
+    }
+    with open(args.json_out, "w") as f:
+        json.dump({"args": {"per_class": 100}, "results": disk}, f)
+    own_default = {"ER": _row(0.005, "own")}
+    own_arith = {"ASER": {"cpu_f32": {"d_acc": 0.005}}}
+    rows = pv._flush(args, own_default, own_arith, startup_rows=startup)
+    assert rows["ER"]["tag"] == "own"             # own > disk > floor
+    assert rows["ASER"]["tag"] == "fresh-disk"    # disk > floor
+    # own arith cell merged into the disk row without clobbering its sibling
+    assert rows["ASER"]["arith"]["cpu_f32"]["d_acc"] == 0.005
+    assert rows["ASER"]["arith"]["tpu_highest"]["d_acc"] == -0.030
+
+
+def test_flush_preserves_concurrent_rows_without_startup(tmp_path):
+    """Re-read-at-flush still holds: rows another process landed after this
+    one started are preserved even when no startup snapshot is passed."""
+    import json
+
+    args = _flush_args(tmp_path)
+    disk = {"MIR": _row(0.006, "concurrent")}
+    with open(args.json_out, "w") as f:
+        json.dump({"args": {"per_class": 100}, "results": disk}, f)
+    rows = pv._flush(args, {"ER": _row(0.005)}, {})
+    assert rows["MIR"]["tag"] == "concurrent"
+    assert "ER" in rows
