@@ -152,6 +152,27 @@ class ContinualLearner:
     def after_train_stacked(self, state, ctx):
         return self.after_train(state, ctx)
 
+    # When True, the tuner passes the RAW task arrays (x_train, y_train) to
+    # stacked_train_task instead of pre-batchified [n, B, ...] scans — for
+    # agents that bypass the online-scan contract entirely (GDumb's
+    # end-of-task retrain consumes its balanced memory, not the stream).
+    stacked_consumes_raw = False
+
+    def stacked_train_task(self, state, ctx, xs, ys):
+        """One task on a [P, ...]-stacked state (experiment/parallel_tune.py):
+        every grid point steps through the same shared batches, each carrying
+        its own hyperparams in its injected opt_state. Agents whose task fn
+        takes extra shared host args (iCaRL) or that replace the scan with
+        host control flow (GDumb) override this."""
+        fn = self._eval_cache.get("stacked_train")
+        if fn is None:
+            fn = jax.jit(jax.vmap(self._build_train_task_fn(),
+                                  in_axes=(0, None, None, None)),
+                         donate_argnums=0)
+            self._eval_cache["stacked_train"] = fn
+        state, _ = fn(state, ctx, xs, ys)
+        return state
+
     # ------------------------------------------------------------ criterion
 
     def criterion(self, logits, labels, ctx: TaskCtx, mask=None):

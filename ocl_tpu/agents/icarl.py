@@ -145,12 +145,38 @@ class Icarl(ContinualLearner):
                       xs, ys)
         return state
 
+    def stacked_train_task(self, state, ctx, xs, ys):
+        """Grid-parallel path (experiment/parallel_tune.py): the compact-label
+        bookkeeping is host-side and shared across grid points (the tuner
+        drives before_train/after_train on this instance); the task fn vmaps
+        over the stacked state with the label args broadcast."""
+        for lbl in self.new_labels:
+            if lbl not in self.compact:
+                self.compact[lbl] = len(self.compact)
+        label_map = np.zeros(self.n_classes, np.int32)
+        for orig, cid in self.compact.items():
+            label_map[orig] = cid
+        n_old = len(self.old_labels)
+        all_cls = len(self.old_labels) + len(self.new_labels)
+        fn = self._eval_cache.get("stacked_train")
+        if fn is None:
+            fn = jax.jit(jax.vmap(self._build_train_task_fn(),
+                                  in_axes=(0, None, None, None, None, None)),
+                         donate_argnums=0)
+            self._eval_cache["stacked_train"] = fn
+        state, _ = fn(state, jnp.asarray(label_map),
+                      jnp.asarray(n_old, jnp.int32),
+                      jnp.asarray(all_cls, jnp.int32), xs, ys)
+        return state
+
     def after_train(self, state, ctx):
         from ocl_tpu.utils.meters import tree_copy
 
         ag = dict(state.agent)
+        # ones_like keeps the flag's [P] shape under stacked states
+        # (experiment/parallel_tune.py runs after_train on a [P, ...] state)
         ag.update(teacher_params=tree_copy(state.params),
                   teacher_stats=tree_copy(state.batch_stats),
-                  has_teacher=jnp.ones((), jnp.float32))
+                  has_teacher=jnp.ones_like(ag["has_teacher"]))
         state = state.replace(agent=ag)
         return super().after_train(state, ctx)

@@ -58,7 +58,8 @@ def tune_hyper(tune_data, tune_test_loaders, default_params, tune_params):
                                        default_params, tune_params, grid,
                                        _merged)
         print("[parallel_runs] grid not vmappable (non-scalar hyperparams, "
-              "agent, or single device) — sequential tuning")
+              "agent, or over the stacked-state memory budget) — "
+              "sequential tuning")
     tune_accs = []
     for param_set in grid:
         print(param_set)

@@ -105,6 +105,7 @@ def test_stacked_task_fn_honors_per_point_lr():
 
 
 def test_supports_parallel_grid_gating():
+    import ocl_tpu.experiment.parallel_tune as pt
     from ocl_tpu.experiment.parallel_tune import supports_parallel_grid
 
     p = default_params(data="synthetic", agent="ER", retrieve="MIR")
@@ -114,6 +115,137 @@ def test_supports_parallel_grid_gating():
     assert not supports_parallel_grid(p2, {"subsample": [10, 50]})
     assert supports_parallel_grid(
         p2, {"learning_rate": [0.01, 0.1], "weight_decay": [0.0, 0.01]})
+    # iCaRL/GDumb reference grids vary exactly lr/wd -> capable
+    assert supports_parallel_grid(
+        default_params(data="synthetic", agent="ICARL"),
+        {"learning_rate": [0.01, 0.1]})
+    assert supports_parallel_grid(
+        default_params(data="synthetic", agent="GDUMB"),
+        {"learning_rate": [0.01, 0.1]})
+    # the gate is a MEMORY bound: a grid whose stacked states exceed the
+    # budget falls back (buffers dominate the per-point footprint)
+    big = default_params(data="synthetic", agent="ER", mem_size=10000,
+                         num_runs_val=10)
+    grid = {"learning_rate": [0.1] * 7, "weight_decay": [0.0] * 4}
+    est = pt._stack_bytes_estimate(big, 7 * 4 * 10)
+    assert (est > pt.STACK_BYTES_BUDGET) == (
+        not supports_parallel_grid(big, grid))
+
+
+def test_tune_hyper_parallel_icarl_ncm():
+    """iCaRL lr grids run stacked, evaluated through the vmapped NCM path."""
+    from ocl_tpu.data import prepare_test_loaders
+    from ocl_tpu.experiment.tune import parameter_grid, tune_hyper
+
+    p = default_params(data="synthetic", agent="ICARL", mem_size=100,
+                       batch=10, eps_mem_batch=10, nf=4, verbose=False,
+                       num_runs_val=1, parallel_runs=True, test_batch=20)
+    tune_params = {"learning_rate": [0.02, 0.1]}
+    tasks = _tiny_stream()
+    g = np.random.RandomState(3)
+    tests = [(g.rand(20, 32, 32, 3).astype(np.float32),
+              g.randint(0, 4, 20)) for _ in range(2)]
+    loaders = prepare_test_loaders(tests, p)
+    best = tune_hyper(tasks, loaders, p, tune_params)
+    assert best in parameter_grid(tune_params)
+
+
+def test_stacked_ncm_eval_matches_sequential():
+    """A 1-point stacked NCM eval == the sequential _evaluate_ncm on the
+    same trained state (same fold_in(rng, 7) noise for empty classes)."""
+    from ocl_tpu.data import prepare_test_loaders
+    from ocl_tpu.experiment.parallel_run import _stack
+    from ocl_tpu.experiment.parallel_tune import _make_stacked_ncm
+    from ocl_tpu.registry import agents
+
+    p = default_params(data="synthetic", agent="ICARL", mem_size=60,
+                       batch=10, eps_mem_batch=10, nf=4, verbose=False,
+                       test_batch=20)
+    agent = agents["ICARL"](p)
+    state = agent.init_state(jax.random.PRNGKey(7))
+    tasks = _tiny_stream(n_tasks=1, per_task=40)
+    state = agent.train_learner(state, tasks[0][0], tasks[0][1])
+    g = np.random.RandomState(4)
+    tests = [(g.rand(20, 32, 32, 3).astype(np.float32),
+              g.randint(0, 4, 20)) for _ in range(2)]
+    loaders = prepare_test_loaders(tests, p)
+    want = agent.evaluate(state, loaders)
+
+    means_fn, classify_fn = _make_stacked_ncm(agent)
+    stacked = _stack([state])
+    seen = np.zeros(agent.n_classes, bool)
+    seen[agent.old_labels] = True
+    means = means_fn(stacked)
+    got = []
+    for x, y, m in loaders:
+        c = np.asarray(classify_fn(stacked, means, jnp.asarray(seen),
+                                   x, y, m))[0]
+        got.append(c / max(int(np.sum(np.asarray(m))), 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_tune_hyper_parallel_gdumb():
+    """GDumb lr grids run stacked: shared balanced memory, vmapped per-point
+    retrain with injected lr/wd."""
+    from ocl_tpu.data import prepare_test_loaders
+    from ocl_tpu.experiment.tune import parameter_grid, tune_hyper
+
+    p = default_params(data="synthetic", agent="GDUMB", mem_size=60,
+                       batch=10, mem_epoch=2, clip=10.0, nf=4, verbose=False,
+                       num_runs_val=1, parallel_runs=True, test_batch=20)
+    tune_params = {"learning_rate": [0.02, 0.1]}
+    tasks = _tiny_stream()
+    g = np.random.RandomState(5)
+    tests = [(g.rand(20, 32, 32, 3).astype(np.float32),
+              g.randint(0, 4, 20)) for _ in range(2)]
+    loaders = prepare_test_loaders(tests, p)
+    best = tune_hyper(tasks, loaders, p, tune_params)
+    assert best in parameter_grid(tune_params)
+
+
+def test_gdumb_stacked_per_point_lr_and_init():
+    """Per-point lr injection through the stacked GDumb retrain: an lr=0
+    point's params stay bit-identical to ITS own fresh re-init (the retrain
+    never moves them; rounding-immune even under vmapped convs), while an
+    lr=0.5 point trains away from the same init. Also pins the per-point rng
+    schedule: the lr=0 point's init must equal init_model on the third
+    split of its state rng — exactly the sequential train_task's split."""
+    from ocl_tpu.agents.base import TaskCtx
+    from ocl_tpu.experiment.parallel_run import _stack
+    from ocl_tpu.experiment.tune import _merged
+    from ocl_tpu.models import init_model
+    from ocl_tpu.registry import agents
+
+    base = default_params(data="synthetic", agent="GDUMB", mem_size=200,
+                          batch=5, mem_epoch=2, clip=10.0, weight_decay=0.0,
+                          nf=4, verbose=False)
+    g = np.random.RandomState(6)
+    x = g.rand(30, 32, 32, 3).astype(np.float32)
+    y = g.randint(0, 2, 30)
+    ctx = TaskCtx(old_mask=jnp.zeros(10, bool),
+                  new_mask=jnp.asarray([True] * 2 + [False] * 8),
+                  task_seen=jnp.asarray(0, jnp.int32))
+
+    ags = [agents["GDUMB"](_merged(base, {"learning_rate": lr,
+                                          "inject_hp": True}))
+           for lr in (0.0, 0.5)]
+    a0 = ags[0]
+    s0 = a0.init_state(jax.random.PRNGKey(42))
+    stacked = _stack([s0.replace(opt_state=a.tx.init(s0.params))
+                      for a in ags])
+    out = a0.stacked_train_task(stacked, ctx, x, y)
+
+    # the sequential train_task's rng schedule: 3-way split, third = init
+    want_init, _ = init_model(a0.module, jax.random.split(s0.rng, 3)[2],
+                              a0.data)
+    for a, b in zip(jax.tree_util.tree_leaves(out.params),
+                    jax.tree_util.tree_leaves(want_init)):
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b))
+    # and the lr=0.5 point genuinely trained away from the shared init
+    delta = sum(float(jnp.abs(a[1] - a[0]).sum())
+                for a in jax.tree_util.tree_leaves(out.params))
+    assert delta > 1.0
 
 
 def test_tune_hyper_parallel_ewc():

@@ -18,9 +18,10 @@ the multi-chip wall from them:
   * sequential: per-point compile wall + per-point run wall (the reference
     cost model), measured on the lr axis of the real grid;
   * stacked-on-one-chip: one compile + one run of all points vmapped on a
-    single device (forced past the supports_parallel_grid occupancy gate —
-    this is exactly the >1-points-per-device regime the gate prices at
-    ~2x/point via the batched-weight grouped-conv path);
+    single device. (When first measured this regime was behind a
+    points-per-device occupancy gate; the measured 6.3x single-chip win is
+    what retired that gate — supports_parallel_grid now bounds only the
+    stacked states' memory, experiment/parallel_tune.py.)
   * projected N-chip grid-parallel: stacked compile (once) + stacked run
     scaled by 1/N — points are independent, the point axis shards
     one-per-device with no cross-point collectives, so scaling is linear
